@@ -1,0 +1,256 @@
+"""The constrained-PPO learner: ONE jitted update per rollout.
+
+Replaces the reference's engine-side update loop (forked AllenAct: reward/cost
+GAE in rollout storage, 4 update repeats over 1 minibatch, Adam + grad-norm
+clip + NCCL all-reduce; configured at reference
+training/online/dinov2_vits_tsfm_base.py:328-379) with a single compiled
+program per pipeline stage:
+
+    dual GAE (reward + cost fused in one scan)
+    -> lambda ascent vs cost_limit (omnisafe Lagrange semantics)
+    -> lax.scan over update repeats:
+         full-sequence policy forward (traj-packed masks)
+         stage-weighted losses (PPO-Lagrangian surrogate, value, cost-value)
+         global-norm clip + Adam
+    all sharded over the `dp` mesh axis; the gradient all-reduce is an XLA
+    collective over ICI, not a separate communication library.
+
+Only the tower parameters train; the frozen DINOv2/T5 params are closed over.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from safevla_tpu.algo import losses as L
+from safevla_tpu.algo.lagrange import (
+    LagrangeState,
+    init_lagrange,
+    multiplier_value,
+    update_lagrange,
+)
+from safevla_tpu.config import Config
+from safevla_tpu.models.actor_critic import SafeVLAPolicy
+from safevla_tpu.ops.gae import dual_gae
+
+
+class TrainState(NamedTuple):
+    tower_params: Any
+    frozen_params: Any  # {"vit": ..., "t5": ...}
+    opt_state: optax.OptState
+    lagrange: LagrangeState
+    step: jax.Array  # env steps consumed so far (scalar int64-ish f32-safe)
+
+
+class StageSpec(NamedTuple):
+    """Static loss weights for one pipeline stage."""
+
+    action_weight: float
+    value_weight: float
+    c_value_weight: float
+    use_lagrange: bool
+
+
+# Reference 3-stage pipeline: critic warmup, then PPO-Lagrangian.
+# The cost critic keeps training in stages 1-2 so lambda acts on live estimates.
+STAGES = (
+    StageSpec(action_weight=0.0, value_weight=1.0, c_value_weight=1.0, use_lagrange=False),
+    StageSpec(action_weight=1.0, value_weight=0.5, c_value_weight=0.5, use_lagrange=True),
+    StageSpec(action_weight=1.0, value_weight=0.5, c_value_weight=0.5, use_lagrange=True),
+)
+
+
+class Learner:
+    def __init__(self, policy: SafeVLAPolicy, cfg: Config, mesh: Optional[Mesh] = None):
+        self.policy = policy
+        self.cfg = cfg
+        self.mesh = mesh
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
+            optax.adam(cfg.ppo.lr),
+        )
+        self._update_fns: Dict[int, Any] = {}
+
+    # ------------------------------------------------------------------
+    def init(self, rng: jax.Array) -> TrainState:
+        params = self.policy.init_params(rng)
+        tower_params = params["towers"]
+        frozen = {"vit": params["vit"], "t5": params["t5"]}
+        opt_state = self.tx.init(tower_params)
+        lag = init_lagrange(
+            self.cfg.lagrange.cost_limit,
+            self.cfg.lagrange.multiplier_init,
+            self.cfg.lagrange.multiplier_lr,
+            self.cfg.lagrange.multiplier_upper_bound,
+        )
+        return TrainState(
+            tower_params=tower_params,
+            frozen_params=frozen,
+            opt_state=opt_state,
+            lagrange=lag,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _forward(self, tower_params, frozen_params, batch):
+        params = {"towers": tower_params, **frozen_params}
+        return self.policy.forward_seq(
+            params,
+            batch["dino_nav"],
+            batch.get("dino_manip"),
+            batch["text_hidden"],
+            batch["text_mask"],
+            batch["prev_actions"],
+            batch["not_reset"],
+            batch.get("object_in_hand"),
+            batch["time_step"],
+            batch["traj_idx"],
+        )
+
+    def _loss_fn(self, tower_params, frozen_params, batch, lam, stage: StageSpec):
+        ppo = self.cfg.ppo
+        out = self._forward(tower_params, frozen_params, batch)
+        metrics = {}
+
+        adv = batch["advantages"]
+        c_adv = batch["c_advantages"]
+        if stage.use_lagrange:
+            penalized_adv = (adv - lam * c_adv) / (1.0 + lam)
+        else:
+            penalized_adv = adv
+
+        log_probs = L.categorical_log_prob(out.logits, batch["actions"])
+        action_loss = jnp.mean(
+            L.clipped_surrogate(
+                log_probs, batch["old_log_probs"], penalized_adv, ppo.clip_param
+            )
+        )
+        entropy = jnp.mean(L.categorical_entropy(out.logits))
+        v_loss = L.value_loss(
+            out.values,
+            batch["returns"],
+            batch["old_values"],
+            ppo.clip_param,
+            ppo.use_clipped_value_loss,
+        )
+        cv_loss = L.value_loss(
+            out.c_values,
+            batch["c_returns"],
+            batch["old_c_values"],
+            ppo.clip_param,
+            ppo.use_clipped_value_loss,
+        )
+        total = (
+            stage.action_weight * action_loss
+            + stage.value_weight * v_loss
+            + stage.c_value_weight * cv_loss
+            - stage.action_weight * ppo.entropy_coef * entropy
+        )
+        metrics.update(
+            action=action_loss,
+            value=v_loss,
+            c_value=cv_loss,
+            entropy=entropy,
+            total=total,
+            approx_kl=jnp.mean(batch["old_log_probs"] - log_probs),
+        )
+        return total, metrics
+
+    # ------------------------------------------------------------------
+    def _make_update(self, stage_id: int):
+        stage = STAGES[min(stage_id, len(STAGES) - 1)]
+        ppo = self.cfg.ppo
+
+        def update(train_state: TrainState, batch, mean_episode_cost):
+            # 1. fused reward+cost GAE over the (T, B) layout
+            rewards = jnp.stack([batch["rewards"].T, batch["costs"].T])  # (2, T, B)
+            values = jnp.stack([batch["values"].T, batch["c_values"].T])  # (2, T+1, B)
+            adv, ret = dual_gae(rewards, values, batch["masks"].T, ppo.gamma, ppo.gae_lambda)
+            mb = dict(batch)
+            mb["advantages"] = adv[0].T
+            mb["c_advantages"] = adv[1].T
+            mb["returns"] = ret[0].T
+            mb["c_returns"] = ret[1].T
+            mb["old_values"] = batch["values"][:, :-1]
+            mb["old_c_values"] = batch["c_values"][:, :-1]
+            if ppo.normalize_advantage:
+                for k in ("advantages", "c_advantages"):
+                    a = mb[k]
+                    mb[k] = (a - a.mean()) / (a.std() + 1e-8)
+
+            # 2. lambda ascent (only once lagrangian stages are active)
+            lagrange = train_state.lagrange
+            if stage.use_lagrange:
+                lagrange = update_lagrange(
+                    lagrange, mean_episode_cost, self.cfg.lagrange.multiplier_lr
+                )
+            lam = multiplier_value(lagrange)
+
+            # 3. PPO epochs as a scan
+            def one_epoch(carry, _):
+                tower_params, opt_state = carry
+                (loss, metrics), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(tower_params, train_state.frozen_params, mb, lam, stage)
+                metrics["grad_norm"] = optax.global_norm(grads)
+                updates, opt_state = self.tx.update(grads, opt_state, tower_params)
+                tower_params = optax.apply_updates(tower_params, updates)
+                return (tower_params, opt_state), metrics
+
+            (tower_params, opt_state), metrics = jax.lax.scan(
+                one_epoch,
+                (train_state.tower_params, train_state.opt_state),
+                None,
+                length=ppo.update_repeats,
+            )
+            metrics = jax.tree.map(lambda x: x[-1], metrics)
+            metrics["lagrange_multiplier"] = lam
+            metrics["mean_episode_cost"] = mean_episode_cost
+
+            b, t = batch["rewards"].shape
+            new_state = TrainState(
+                tower_params=tower_params,
+                frozen_params=train_state.frozen_params,
+                opt_state=opt_state,
+                lagrange=lagrange,
+                step=train_state.step + b * t,
+            )
+            return new_state, metrics
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("dp"))
+            return jax.jit(
+                update,
+                in_shardings=(repl, data, repl),
+                out_shardings=(repl, repl),
+            )
+        return jax.jit(update)
+
+    def update(
+        self, train_state: TrainState, batch: Dict[str, jax.Array],
+        mean_episode_cost, stage_id: int,
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """One rollout's worth of learning. `stage_id` selects the pipeline
+        stage (recompiles at most once per stage)."""
+        key = min(int(stage_id), len(STAGES) - 1)
+        if key not in self._update_fns:
+            self._update_fns[key] = self._make_update(key)
+        return self._update_fns[key](
+            train_state, batch, jnp.asarray(mean_episode_cost, jnp.float32)
+        )
+
+    # ------------------------------------------------------------------
+    def stage_for_step(self, step: int) -> int:
+        acc = 0
+        for i, st in enumerate(self.cfg.train.stages):
+            acc += st.max_stage_steps
+            if step < acc:
+                return i
+        return len(self.cfg.train.stages) - 1

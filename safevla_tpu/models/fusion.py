@@ -1,0 +1,85 @@
+"""Fusion transformer over [fusion token, camera patch tokens, text tokens].
+
+Matches the numerics of the reference's `nn.TransformerEncoder(
+nn.TransformerEncoderLayer(d_model, nhead, batch_first=True))`
+(reference: allenact_dino_transformer.py:545-552): post-layer-norm residual
+blocks with a ReLU MLP of width 2048 and a jointly-projected multi-head
+attention with biases. Written as one flax module so XLA fuses the token
+concat + attention + MLP into a single program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class TorchMultiheadAttention(nn.Module):
+    """nn.MultiheadAttention-compatible self-attention (in/out proj with bias)."""
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        # torch packs q/k/v into one (3d, d) in_proj; keep the same layout for
+        # checkpoint-compatible conversion.
+        in_proj_w = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (3 * d, d)
+        )
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
+        qkv = (
+            jnp.einsum("btd,ed->bte", x, in_proj_w.astype(self.dtype))
+            + in_proj_b.astype(self.dtype)
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, dh)
+        k = k.reshape(b, t, h, dh)
+        v = v.reshape(b, t, h, dh)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(jnp.float32(dh))
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).reshape(b, t, d)
+        out = nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+        return out
+
+
+class FusionLayer(nn.Module):
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # post-LN (torch default norm_first=False)
+        attn = TorchMultiheadAttention(self.dim, self.num_heads, self.dtype, name="self_attn")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
+        x = x.astype(self.dtype)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + y)
+        return x.astype(self.dtype)
+
+
+class FusionTransformer(nn.Module):
+    dim: int = 512
+    num_heads: int = 8
+    num_layers: int = 3
+    ffn_dim: int = 2048
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tokens):
+        """tokens (B, N, D) -> (B, N, D)."""
+        x = tokens.astype(self.dtype)
+        for i in range(self.num_layers):
+            x = FusionLayer(self.dim, self.num_heads, self.ffn_dim, self.dtype, name=f"layer_{i}")(x)
+        return x

@@ -1,0 +1,163 @@
+"""DINOv2-style ViT (frozen vision backbone) in JAX.
+
+Re-implements the behavior the reference gets from
+`torch.hub.load("facebookresearch/dinov2", "dinov2_vits14")` wrapped in
+`DinoViTEmbedder` (reference: architecture/allenact_preprocessors/
+dino_preprocessors.py:20-35): 224x384 input, center width crop to 378,
+14x14 patchify -> 16x27 patch tokens -> final-norm patch tokens -> adaptive
+average pool to a (7, 12) grid.
+
+TPU-native choices:
+  * Positional embeddings are interpolated ONCE at weight-conversion time for
+    the fixed 16x27 grid (the reference re-interpolates every forward on GPU);
+    the flax param already has the target shape, so the jitted forward is pure
+    matmuls + layernorms on the MXU.
+  * The torch `AdaptiveAvgPool2d((7, 12))` becomes two small static pooling
+    matrices applied as matmuls (exact same bin arithmetic).
+  * bf16 activations, f32 layernorm statistics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class DinoViTConfig:
+    patch_size: int = 14
+    embed_dim: int = 384  # ViT-S
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    img_height: int = 224
+    img_width: int = 378  # after center width crop from 384
+    layerscale: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def grid(self) -> tuple[int, int]:
+        return self.img_height // self.patch_size, self.img_width // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid
+        return gh * gw
+
+
+def adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Exact torch AdaptiveAvgPool1d bin weights as an (out, in) matrix."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        start = (i * in_size) // out_size
+        end = -(-((i + 1) * in_size) // out_size)  # ceil
+        m[i, start:end] = 1.0 / (end - start)
+    return m
+
+
+class ViTAttention(nn.Module):
+    cfg: DinoViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, d = x.shape
+        h = self.cfg.num_heads
+        dh = d // h
+        qkv = nn.Dense(3 * d, dtype=self.cfg.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(b, t, 3, h, dh), 3, axis=2)
+        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(jnp.float32(dh))
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.cfg.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.cfg.dtype).reshape(b, t, d)
+        return nn.Dense(d, dtype=self.cfg.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    cfg: DinoViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.cfg.embed_dim
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.cfg.dtype)
+        y = ViTAttention(self.cfg, name="attn")(y)
+        if self.cfg.layerscale:
+            y = y * self.param("ls1_gamma", nn.initializers.constant(1e-5), (d,)).astype(self.cfg.dtype)
+        x = x + y
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.cfg.dtype)
+        hidden = int(d * self.cfg.mlp_ratio)
+        y = nn.Dense(hidden, dtype=self.cfg.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(d, dtype=self.cfg.dtype, name="mlp_fc2")(y)
+        if self.cfg.layerscale:
+            y = y * self.param("ls2_gamma", nn.initializers.constant(1e-5), (d,)).astype(self.cfg.dtype)
+        return x + y
+
+
+class DinoViT(nn.Module):
+    """Frozen DINOv2 backbone. Input (B, H, W, 3) normalized float.
+
+    Returns pooled patch features (B, 7, 12, embed_dim) in f32.
+    """
+
+    cfg: DinoViTConfig
+    pool_grid: tuple[int, int] = (7, 12)
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        b = x.shape[0]
+        # center width crop 384 -> 378 (reference dino_preprocessors.py:30)
+        excess = x.shape[2] - cfg.img_width
+        if excess > 0:
+            x = x[:, :, excess // 2 : excess // 2 + cfg.img_width, :]
+        x = x.astype(cfg.dtype)
+        # patchify: conv 14x14 stride 14
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(x)
+        gh, gw = cfg.grid
+        x = x.reshape(b, gh * gw, cfg.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.embed_dim)
+        )
+        # pos_embed is stored PRE-INTERPOLATED for (1 + gh*gw) tokens
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, 1 + cfg.num_patches, cfg.embed_dim),
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, cfg.embed_dim)).astype(cfg.dtype), x], axis=1)
+        x = x + pos_embed.astype(cfg.dtype)
+
+        for i in range(cfg.depth):
+            x = ViTBlock(cfg, name=f"block_{i}")(x)
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        patches = x[:, 1:, :].astype(jnp.float32)  # (B, gh*gw, D)
+
+        # adaptive average pool (gh, gw) -> pool_grid, as two static matmuls
+        ph, pw = self.pool_grid
+        mh = jnp.asarray(adaptive_pool_matrix(gh, ph))
+        mw = jnp.asarray(adaptive_pool_matrix(gw, pw))
+        feat = patches.reshape(b, gh, gw, cfg.embed_dim)
+        feat = jnp.einsum("og,bgwd->bowd", mh, feat)
+        feat = jnp.einsum("ow,bhwd->bhod", mw, feat)
+        return feat  # (B, ph, pw, D)
+
+
+VIT_CONFIGS = {
+    "dinov2_vits14": DinoViTConfig(embed_dim=384, depth=12, num_heads=6),
+    "dinov2_vitb14": DinoViTConfig(embed_dim=768, depth=12, num_heads=12),
+    "dinov2_vitl14": DinoViTConfig(embed_dim=1024, depth=24, num_heads=16),
+}

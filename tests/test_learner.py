@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safevla_tpu.config import Config
+
+
+L = 8
+
+
+@pytest.fixture(scope="module")
+def learner_setup(tiny_model_cfg, tiny_policy):
+    from safevla_tpu.algo.learner import Learner
+
+    cfg = Config()
+    cfg.model = tiny_model_cfg
+    cfg.ppo.update_repeats = 2
+    learner = Learner(tiny_policy, cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    return learner, ts
+
+
+def _batch(cfg, B=4, T=8, seed=0):
+    gh, gw = cfg.vision_grid
+    rng = np.random.default_rng(seed)
+    return {
+        "dino_nav": jnp.asarray(rng.normal(size=(B, T, gh, gw, cfg.vision_feature_dim)), jnp.float32),
+        "dino_manip": jnp.asarray(rng.normal(size=(B, T, gh, gw, cfg.vision_feature_dim)), jnp.float32),
+        "text_hidden": jnp.asarray(rng.normal(size=(B, L, cfg.text_embed_size)), jnp.float32),
+        "text_mask": jnp.ones((B, L), bool),
+        "prev_actions": jnp.zeros((B, T), jnp.int32),
+        "not_reset": jnp.ones((B, T), jnp.int32),
+        "object_in_hand": jnp.zeros((B, T), jnp.int32),
+        "time_step": jnp.tile(jnp.arange(T), (B, 1)),
+        "traj_idx": jnp.zeros((B, T), jnp.int32),
+        "actions": jnp.asarray(rng.integers(0, cfg.num_actions, (B, T)), jnp.int32),
+        "old_log_probs": jnp.full((B, T), -3.0),
+        "rewards": jnp.asarray(rng.normal(size=(B, T)), jnp.float32),
+        "costs": jnp.asarray(rng.integers(0, 3, (B, T)), jnp.float32),
+        "values": jnp.zeros((B, T + 1)),
+        "c_values": jnp.zeros((B, T + 1)),
+        "masks": jnp.ones((B, T + 1)),
+    }
+
+
+def test_update_all_stages(learner_setup, tiny_model_cfg):
+    learner, ts = learner_setup
+    batch = _batch(tiny_model_cfg)
+    for stage in (0, 1, 2):
+        ts, metrics = learner.update(ts, batch, 3.0, stage)
+        assert np.isfinite(float(metrics["total"]))
+    assert int(ts.step) == 3 * 4 * 8
+
+
+def test_stage0_freezes_actor(learner_setup, tiny_model_cfg):
+    """Critic warmup must not move the actor tower (tower 0)."""
+    learner, ts = learner_setup
+    batch = _batch(tiny_model_cfg)
+    ts2, _ = learner.update(ts, batch, 3.0, 0)
+
+    def tower0_changed(tree_a, tree_b):
+        da = jax.tree.leaves(tree_a)
+        db = jax.tree.leaves(tree_b)
+        return max(float(jnp.max(jnp.abs(a[0] - b[0]))) for a, b in zip(da, db))
+
+    # tower axis is leading; tower 0 (actor) params should be untouched by
+    # stage 0 except via... nothing: action_weight = 0.
+    assert tower0_changed(ts.tower_params, ts2.tower_params) < 1e-8
+    # critic towers moved
+    moved = max(
+        float(jnp.max(jnp.abs(a[1] - b[1])))
+        for a, b in zip(jax.tree.leaves(ts.tower_params), jax.tree.leaves(ts2.tower_params))
+    )
+    assert moved > 0
+
+
+def test_lagrange_updates_in_stage1(learner_setup, tiny_model_cfg):
+    learner, ts = learner_setup
+    batch = _batch(tiny_model_cfg)
+    ts2, m = learner.update(ts, batch, 10.0, 1)  # cost far above limit
+    assert float(ts2.lagrange.multiplier) > float(ts.lagrange.multiplier)
+    ts3, _ = learner.update(ts, batch, 10.0, 0)  # warmup stage: frozen lambda
+    assert float(ts3.lagrange.multiplier) == float(ts.lagrange.multiplier)
+
+
+def test_frozen_encoders_not_in_optimizer(learner_setup):
+    learner, ts = learner_setup
+    # optimizer state tree must only cover the towers
+    opt_leaves = jax.tree.leaves(ts.opt_state)
+    tower_leaves = jax.tree.leaves(ts.tower_params)
+    frozen_leaves = jax.tree.leaves(ts.frozen_params)
+    n_tower = sum(x.size for x in tower_leaves)
+    n_opt_mu = sum(x.size for x in opt_leaves) // 2  # adam mu+nu
+    assert abs(n_opt_mu - n_tower) < n_tower * 0.01 + sum(x.size for x in frozen_leaves) * 0
+
+
+def test_stage_for_step(learner_setup):
+    learner, _ = learner_setup
+    assert learner.stage_for_step(0) == 0
+    assert learner.stage_for_step(199_999) == 0
+    assert learner.stage_for_step(200_000) == 1
+    assert learner.stage_for_step(999_999) == 1
+    assert learner.stage_for_step(1_000_000) == 2
