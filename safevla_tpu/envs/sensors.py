@@ -1,0 +1,193 @@
+"""Sensor suite: observation extractors over (controller, task).
+
+Counterparts of the reference's AllenAct `Sensor` classes
+(reference: environment/vision_sensors.py, navigation_sensors.py,
+manipulation_sensors.py) with no gym/allenact dependency: a sensor is an
+object with `uuid` and `get_observation(controller, task) -> np.ndarray`.
+
+The two stateful sensors reproduce the reference's deferred-increment
+protocol exactly (it is what makes packed-rollout masks line up):
+  * TimeStepSensor (navigation_sensors.py:985-1014): in-episode step index;
+    +1 compensation because the observation for step t is produced before the
+    step counter increments.
+  * TrajectorySensor (navigation_sensors.py:1017-1042): per-sampler episode
+    counter mod max_idx, incremented on the first observation after a done.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, List, Optional
+
+import numpy as np
+
+from safevla_tpu.utils.string_codec import convert_string_to_byte
+
+
+class Sensor:
+    def __init__(self, uuid: str):
+        self.uuid = uuid
+
+    def get_observation(self, env, task) -> Any:
+        raise NotImplementedError
+
+
+class RawNavigationStretchRGBSensor(Sensor):
+    def __init__(self, uuid: str = "rgb_raw", height: int = 224, width: int = 384):
+        super().__init__(uuid)
+        self.height, self.width = height, width
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return env.navigation_camera.copy()
+
+
+class RawManipulationStretchRGBSensor(Sensor):
+    def __init__(
+        self, uuid: str = "manipulation_rgb_raw", height: int = 224, width: int = 384
+    ):
+        super().__init__(uuid)
+        self.height, self.width = height, width
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return env.manipulation_camera.copy()
+
+
+class TimeStepSensor(Sensor):
+    def __init__(self, uuid: str = "time_step", max_time_for_random_shift: int = 0):
+        super().__init__(uuid)
+        self.max_time_for_random_shift = max_time_for_random_shift
+        self.random_start = 0
+        self._update = False
+
+    def sample_random_start(self):
+        self.random_start = random.randint(0, max(self.max_time_for_random_shift, 0))
+
+    def get_observation(self, env, task) -> np.ndarray:
+        steps = task.num_steps_taken()
+        if self._update:
+            steps += 1
+        else:
+            self._update = True
+        if task.is_done():
+            self._update = False
+            self.sample_random_start()
+        return np.array(self.random_start + int(steps), dtype=np.int64)
+
+
+class TrajectorySensor(Sensor):
+    def __init__(self, uuid: str = "traj_index", max_idx: int = 2048):
+        super().__init__(uuid)
+        self.curr_idx = 0
+        self.max_idx = max_idx
+        self._update = False
+
+    def get_observation(self, env, task) -> np.ndarray:
+        if self._update:
+            self.curr_idx = (self.curr_idx + 1) % self.max_idx
+            self._update = False
+        if task.is_done():
+            self._update = True
+        return np.array(self.curr_idx, dtype=np.int64)
+
+
+class TaskNaturalLanguageSpecSensor(Sensor):
+    def __init__(self, uuid: str = "natural_language_spec", str_max_len: int = 1000):
+        super().__init__(uuid)
+        self.str_max_len = str_max_len
+
+    def get_observation(self, env, task) -> np.ndarray:
+        goal = task.task_info.get("natural_language_spec", "")
+        return convert_string_to_byte(goal, self.str_max_len)[0]
+
+
+class AnObjectIsInHand(Sensor):
+    def __init__(self, uuid: str = "an_object_is_in_hand"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return np.array([len(env.get_held_objects()) > 0], dtype=np.int64)
+
+
+class RelativeArmLocationMetadata(Sensor):
+    def __init__(self, uuid: str = "relative_arm_location_metadata"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return np.array(env.get_arm_proprioception(), dtype=np.float64)
+
+
+class TargetObjectWasPickedUp(Sensor):
+    def __init__(self, uuid: str = "target_obj_was_pickedup"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        target_in_hand = False
+        if "synsets" in task.task_info:
+            object_ids: List[str] = []
+            for object_type in task.task_info["synsets"]:
+                object_ids += task.task_info["synset_to_object_ids"].get(object_type, [])
+            held = env.get_held_objects()
+            target_in_hand = any(x in object_ids for x in held)
+        return np.array([target_in_hand], dtype=np.int64)
+
+
+class ReadyForDoneActionSensor(Sensor):
+    def __init__(self, uuid: str = "expert_done"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return np.array(task.successful_if_done(), dtype=np.float64)
+
+
+class ReadyForSubDoneActionSensor(Sensor):
+    def __init__(self, uuid: str = "expert_subdone"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        seen = getattr(task, "seen_rooms", set())
+        return np.array(task.get_current_room() not in seen, dtype=np.float64)
+
+
+class LastActionSuccessSensor(Sensor):
+    def __init__(self, uuid: str = "last_action_success"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return np.array([1 if task.last_action_success else 0], dtype=np.int64)
+
+
+class LastAgentLocationSensor(Sensor):
+    def __init__(self, uuid: str = "last_agent_location"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        pose = env.get_current_agent_full_pose()
+        p, r = pose["position"], pose["rotation"]
+        return np.array(
+            [p["x"], p["y"], p["z"], r["x"], r["y"], r["z"]], dtype=np.float64
+        )
+
+
+def default_train_sensors(
+    rgb_height: int = 224,
+    rgb_width: int = 384,
+    traj_max_idx: int = 2048,
+    use_text_goal: bool = True,
+    full_sensor: bool = True,
+) -> List[Sensor]:
+    """The online-RL sensor set (reference dinov2_vits_tsfm_base.py:171-209)."""
+    sensors: List[Sensor] = [
+        RawNavigationStretchRGBSensor(uuid="rgb_raw", height=rgb_height, width=rgb_width),
+        TimeStepSensor(uuid="time_step", max_time_for_random_shift=0),
+        TrajectorySensor(uuid="traj_index", max_idx=traj_max_idx),
+    ]
+    if use_text_goal:
+        sensors.append(TaskNaturalLanguageSpecSensor(uuid="natural_language_spec"))
+    if full_sensor:
+        sensors += [
+            RawManipulationStretchRGBSensor(
+                uuid="manipulation_rgb_raw", height=rgb_height, width=rgb_width
+            ),
+            AnObjectIsInHand(uuid="an_object_is_in_hand"),
+        ]
+    return sensors

@@ -1,0 +1,170 @@
+import numpy as np
+import pytest
+
+from safevla_tpu.constants import ALL_STRETCH_ACTIONS
+from safevla_tpu.envs.fake_controller import FakeController
+from safevla_tpu.envs.sensors import default_train_sensors
+from safevla_tpu.tasks import (
+    REGISTERED_TASKS,
+    MultiTaskSampler,
+    ObjectNavTask,
+    TaskSpecSamplerInfiniteList,
+    map_task_type,
+)
+from safevla_tpu.types import RewardConfig, THORActions
+
+
+def make_task_spec(controller, task_type="ObjectNavType"):
+    objs = controller.get_objects()
+    target = objs[0]
+    synset = target["objectType"].lower() + ".n.01"
+    ids = [
+        o["objectId"] for o in objs if o["objectType"] == target["objectType"]
+    ]
+    return {
+        "task_type": task_type,
+        "house_index": 0,
+        "natural_language_spec": f"go to a {target['objectType'].lower()}",
+        "agent_starting_position": [1.5, 0.9, 3.0],
+        "agent_y_rotation": 0.0,
+        "synsets": [synset],
+        "synset_to_object_ids": {synset: ids},
+        "broad_synset_to_object_ids": {synset: ids},
+    }
+
+
+@pytest.fixture()
+def sampler():
+    controller = FakeController(seed=3)
+    spec = make_task_spec(controller)
+    reward_config = RewardConfig(goal_success_reward=10.0)
+    task_args = dict(
+        sensors=default_train_sensors(),
+        max_steps=20,
+        action_names=ALL_STRETCH_ACTIONS,
+        reward_config=reward_config,
+    )
+    return MultiTaskSampler(
+        mode="train",
+        task_args=task_args,
+        houses=[{"rooms": [{}, {}]}],
+        house_inds=[0],
+        controller_args={"seed": 3},
+        controller_type=FakeController,
+        task_spec_sampler=TaskSpecSamplerInfiniteList(
+            {0: [spec]}, shuffle=True, repeat_house_until_forced=True
+        ),
+        controller=controller,
+    )
+
+
+def test_registry_contains_all_task_families():
+    for t in [
+        "ObjectNavType", "EasyObjectNavType", "ObjectNavRoom",
+        "ObjectNavRelAttribute", "ObjectNavAffordance", "ObjectNavLocalRef",
+        "ObjectNavDescription", "FetchType", "EasyFetchType", "PickupType",
+        "RoomVisit",
+    ]:
+        assert t in REGISTERED_TASKS, f"{t} missing from registry"
+    assert map_task_type("SimpleExploreHouse") == "RoomVisit"
+
+
+def test_sampler_builds_task_and_episode_runs(sampler):
+    task = sampler.next_task()
+    assert isinstance(task, ObjectNavTask)
+    assert task.task_info["extras"] == {}
+
+    obs = task.get_observations()
+    assert obs["rgb_raw"].shape[2] == 3
+    assert int(obs["time_step"]) == 0
+    assert obs["natural_language_spec"].dtype == np.uint8
+
+    total_cost = 0
+    rng = np.random.default_rng(0)
+    steps = 0
+    while not task.is_done():
+        a = int(rng.integers(len(ALL_STRETCH_ACTIONS)))
+        res = task.step(a)
+        total_cost += res.cost
+        steps += 1
+    assert steps <= 20
+    m = task.metrics()
+    assert "success" in m and "cost" in m and "spl" in m
+    assert m["cost"] == total_cost == task.cumulative_cost
+
+
+def test_time_step_sensor_sequence(sampler):
+    task = sampler.next_task()
+    seq = [int(task.get_observations()["time_step"])]
+    for t in range(5):
+        res = task.step(ALL_STRETCH_ACTIONS.index(THORActions.rotate_left))
+        seq.append(int(res.observation["time_step"]))
+    assert seq == [0, 1, 2, 3, 4, 5]
+
+
+def test_trajectory_sensor_increments_across_episodes(sampler):
+    task = sampler.next_task()
+    traj0 = int(task.get_observations()["traj_index"])
+    # finish episode via done action
+    task.step(ALL_STRETCH_ACTIONS.index(THORActions.done))
+    task2 = sampler.next_task()
+    traj1 = int(task2.get_observations()["traj_index"])
+    assert traj1 == traj0 + 1
+
+
+def test_done_action_sets_success_flag(sampler):
+    task = sampler.next_task()
+    res = task.step(ALL_STRETCH_ACTIONS.index(THORActions.done))
+    assert res.done
+    assert task._took_end_action
+    m = task.metrics()
+    assert m["success"] == task.successful_if_done()
+
+
+def test_fetch_task_runs():
+    controller = FakeController(seed=5)
+    from safevla_tpu.tasks import FetchTask
+
+    spec = make_task_spec(controller, "FetchType")
+    task_info = MultiTaskSampler.task_spec_to_task_info(spec, 0, {"rooms": []})
+    task_info["extras"] = {}
+    task = FetchTask(
+        controller=controller,
+        sensors=default_train_sensors(),
+        task_info=task_info,
+        max_steps=10,
+        action_names=ALL_STRETCH_ACTIONS,
+        reward_config=RewardConfig(shaping_weight=1.0),
+    )
+    rng = np.random.default_rng(1)
+    while not task.is_done():
+        task.step(int(rng.integers(len(ALL_STRETCH_ACTIONS))))
+    m = task.metrics()
+    assert "cost" in m and "success" in m
+
+
+def test_room_visit_task_runs():
+    controller = FakeController(seed=7)
+    from safevla_tpu.tasks import RoomVisitTask
+
+    task_info = {
+        "task_type": "RoomVisit",
+        "house_index": "0",
+        "natural_language_spec": "explore the house",
+        "num_rooms_in_house": 2,
+        "extras": {},
+    }
+    task = RoomVisitTask(
+        controller=controller,
+        sensors=default_train_sensors(),
+        task_info=task_info,
+        max_steps=15,
+        action_names=ALL_STRETCH_ACTIONS,
+        reward_config=RewardConfig(shaping_weight=1.0),
+    )
+    rng = np.random.default_rng(2)
+    while not task.is_done():
+        task.step(int(rng.integers(len(ALL_STRETCH_ACTIONS))))
+    m = task.metrics()
+    assert m["num_rooms_in_house"] == 2
+    assert "rooms_visited" in m
