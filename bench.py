@@ -1,0 +1,105 @@
+"""Benchmark: end-to-end constrained-PPO iteration throughput on one TPU chip.
+
+Measures env frames/sec/chip for the full training path — rollout (uint8
+frames -> augment+normalize -> frozen DINOv2 on both cameras -> 3-tower
+policy act with KV cache) plus the PPO-Lagrangian update (dual GAE, 4 update
+repeats) — using the production model size (DINOv2-S, d=512, 3 towers) and
+the reference's run configuration (32 rollout streams, 128-step windows;
+reference README.md:252, dinov2_vits_tsfm_base.py:354).
+
+Environments are simulator-free FakeControllers: the AI2-THOR binary is
+identical CPU work for the reference and this framework, so the comparable
+quantity is everything OUTSIDE the simulator. `vs_baseline` compares against
+an estimated 2,000 env-frames/s for the reference's A100 learner path (32
+samplers, per-step batch preprocessing + 3 sequential tower forwards +
+4-epoch update; no published number exists — BASELINE.md documents
+`published: {}` — so this is a stated estimate, not a measurement).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_A100_FRAMES_PER_SEC_ESTIMATE = 2000.0
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from safevla_tpu.config import Config
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+    from safevla_tpu.rollout.env_pool import EnvPool
+    from safevla_tpu.rollout.runner import RolloutRunner
+
+    B = int(os.environ.get("BENCH_STREAMS", "32"))
+    T = int(os.environ.get("BENCH_NUM_STEPS", "128"))
+    ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+    # default to inline env stepping: worker processes only help when the host
+    # has cores to spare (this bench box has 1), and the quantity under test
+    # is the TPU-side compute path
+    default_workers = min(B, max((os.cpu_count() or 1) - 1, 0))
+    num_workers = int(os.environ.get("BENCH_ENV_WORKERS", str(default_workers)))
+
+    cfg = Config()
+    cfg.train.num_train_processes = B
+    cfg.ppo.num_steps = T
+    cfg.train.max_steps = 500
+
+    # FakeController environments at the production camera resolution
+    from tests.test_rollout_training import make_sampler_factory
+
+    factory = make_sampler_factory(max_steps=100, image_hw=(224, 384))
+
+    policy = SafeVLAPolicy(cfg.model)
+    learner = Learner(policy, cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+
+    pool = EnvPool(factory, num_streams=B, num_workers=num_workers)
+    runner = RolloutRunner(policy, cfg, pool, seed=0)
+
+    def iteration(ts):
+        params = {"towers": ts.tower_params, **ts.frozen_params}
+        batch, stats = runner.collect(params, T)
+        ts, metrics = learner.update(ts, batch, stats["mean_episode_cost"], 1)
+        jax.block_until_ready(metrics["total"])
+        return ts, stats
+
+    # warmup (compiles rollout policy_step, text encoder, update)
+    t0 = time.time()
+    ts, _ = iteration(ts)
+    warmup = time.time() - t0
+    print(f"# warmup (compile) {warmup:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        ts, stats = iteration(ts)
+    wall = time.time() - t0
+    frames = ITERS * B * T
+    fps = frames / wall
+
+    print(
+        f"# {frames} frames in {wall:.2f}s | rollout fps last iter: "
+        f"{stats['frames_per_second']:.0f}",
+        file=sys.stderr,
+    )
+    pool.close()
+
+    print(
+        json.dumps(
+            {
+                "metric": "env_frames_per_sec_per_chip_rollout_plus_update",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_A100_FRAMES_PER_SEC_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -111,6 +111,7 @@ class Learner:
             batch.get("object_in_hand"),
             batch["time_step"],
             batch["traj_idx"],
+            batch.get("text_idx"),
         )
 
     def _loss_fn(self, tower_params, frozen_params, batch, lam, stage: StageSpec):

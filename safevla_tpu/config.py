@@ -58,6 +58,11 @@ class ModelConfig:
     traj_max_idx: int = 2048
     use_traj_indexing: bool = True
 
+    # update-time fusion encoder is per-step independent: process the packed
+    # (B*T) batch in chunks of this size under rematerialization so the
+    # fusion attention never materializes for the whole window at once
+    fusion_chunk: int = 512
+
     # number of stacked towers: 1 = shared actor/critic head,
     # 3 = separate actor / reward-critic / cost-critic full towers
     # (reference separate_actor_critic.py builds 3 sequential towers)

@@ -238,16 +238,29 @@ class FakeController(BaseController):
         return [self.arm["y"], self.arm["z"], self.arm["wrist"], self.arm["gripper_open"]]
 
     # ------------------------------------------------------------------
+    _FRAME_BANK: Dict[tuple, np.ndarray] = {}
+
     def _render(self, which: str) -> np.ndarray:
-        """Cheap procedural frame: deterministic function of agent pose."""
+        """Cheap procedural frame: deterministic function of agent pose.
+
+        Frames come from a small pre-generated bank (shared per resolution) so
+        rendering is an index, not an RNG fill — the fake env must stay orders
+        of magnitude cheaper than the policy to benchmark the compute path.
+        """
         if which in self._frame_cache:
             return self._frame_cache[which]
-        h, w = self.image_hw
+        bank_key = self.image_hw
+        bank = FakeController._FRAME_BANK.get(bank_key)
+        if bank is None:
+            h, w = self.image_hw
+            bank = np.random.default_rng(1234).integers(
+                0, 255, (16, h, w, 3), dtype=np.uint8
+            )
+            FakeController._FRAME_BANK[bank_key] = bank
         pos = self.agent["position"]
         yaw = self.agent["rotation"]["y"]
         base = int(pos["x"] * 37 + pos["z"] * 91 + yaw + (7 if which == "manip" else 0))
-        rng = np.random.default_rng(base % (2**31))
-        frame = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        frame = bank[base % 16]
         self._frame_cache[which] = frame
         return frame
 
@@ -261,9 +274,11 @@ class FakeController(BaseController):
 
     # ------------------------------------------------------------------
     def get_objects(self) -> List[Dict[str, Any]]:
-        import copy
-
-        return copy.deepcopy(self._objects)
+        # snapshot semantics without deepcopy (hot path: called every step)
+        return [
+            {**o, "position": dict(o["position"]), "rotation": dict(o["rotation"])}
+            for o in self._objects
+        ]
 
     def get_obj_pos_from_obj_id(self, object_id: str) -> Dict[str, float]:
         for o in self._objects:

@@ -38,7 +38,7 @@ class RawNavigationStretchRGBSensor(Sensor):
         self.height, self.width = height, width
 
     def get_observation(self, env, task) -> np.ndarray:
-        return env.navigation_camera.copy()
+        return env.navigation_camera
 
 
 class RawManipulationStretchRGBSensor(Sensor):
@@ -49,7 +49,7 @@ class RawManipulationStretchRGBSensor(Sensor):
         self.height, self.width = height, width
 
     def get_observation(self, env, task) -> np.ndarray:
-        return env.manipulation_camera.copy()
+        return env.manipulation_camera
 
 
 class TimeStepSensor(Sensor):

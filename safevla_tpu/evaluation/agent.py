@@ -1,0 +1,176 @@
+"""Batched inference agent: the policy driven step-by-step over B streams.
+
+Counterpart of the reference's `InferenceAgentVIDA`
+(reference: architecture/models/allenact_transformer_models/
+inference_agent.py:85-296): checkpoint auto-detection across formats,
+KV-cache incremental decode, greedy or stochastic action choice. Unlike the
+reference (one agent per eval worker process, each doing B=1 forwards on its
+own GPU context), this agent serves ALL eval streams in one jitted batched
+step on the chip.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safevla_tpu.config import Config
+from safevla_tpu.models.actor_critic import PolicyState, SafeVLAPolicy
+from safevla_tpu.preprocessing.augment import (
+    identity_augment_params,
+    sample_augment_params,
+)
+from safevla_tpu.preprocessing.tokenize import InstructionTokenizer
+
+
+class InferenceAgent:
+    def __init__(
+        self,
+        cfg: Config,
+        params,
+        num_streams: int,
+        mode: str = "greedy",
+        seed: int = 123,
+        test_augmentation: bool = True,
+    ):
+        assert mode in ("greedy", "sample")
+        self.cfg = cfg
+        self.policy = SafeVLAPolicy(cfg.model)
+        self.params = params
+        self.B = num_streams
+        self.mode = mode
+        self.rng = jax.random.PRNGKey(seed)
+        self.tokenizer = InstructionTokenizer(
+            cfg.model.text_backbone, cfg.model.text_max_tokens
+        )
+        self.test_augmentation = test_augmentation
+        self._aug_key = jax.random.PRNGKey(seed + 7)
+        self._aug_params = identity_augment_params()
+        self._aug_steps = 0
+        self.state = self.policy.init_state(self.B, cfg.model.text_max_tokens)
+        self.instructions = [""] * self.B
+        self.prev_action = np.zeros(self.B, np.int32)
+
+        self._step_impl = jax.jit(self._policy_step)
+        self._encode_text = jax.jit(
+            lambda p, t, m: self.policy.encode_text(p, t, m)
+        )
+
+    def _policy_step(self, params, state, aug, rgb_nav, rgb_manip, prev, not_reset, oih, rng):
+        from safevla_tpu.constants import DINO_RGB_MEANS, DINO_RGB_STDS
+        from safevla_tpu.preprocessing.augment import apply_augment
+
+        imgs = jnp.concatenate([rgb_nav, rgb_manip], axis=0)
+        x01 = apply_augment(imgs.astype(jnp.float32) / 255.0, aug)
+        x = (x01 - jnp.asarray(DINO_RGB_MEANS)) / jnp.asarray(DINO_RGB_STDS)
+        feats = self.policy.encode_images(params, x)
+        logits, v, cv, new_state = self.policy.act_step(
+            params, state, feats[: self.B], feats[self.B :], prev, not_reset, oih
+        )
+        greedy = jnp.argmax(logits, axis=-1)
+        sampled = jax.random.categorical(rng, logits)
+        action = greedy if self.mode == "greedy" else sampled
+        return action, logits, v, cv, new_state
+
+    # ------------------------------------------------------------------
+    def set_instructions(self, instructions: List[Optional[str]]):
+        """Install instructions for streams whose episode just reset."""
+        changed = False
+        for i, ins in enumerate(instructions):
+            if ins is not None and ins != self.instructions[i]:
+                self.instructions[i] = ins
+                changed = True
+        if changed or not getattr(self, "_text_ready", False):
+            tokens, mask = self.tokenizer.encode_batch(self.instructions)
+            hidden = self._encode_text(self.params, jnp.asarray(tokens), jnp.asarray(mask))
+            self.state = PolicyState(
+                cache=self.state.cache,
+                pos=self.state.pos,
+                time_step=self.state.time_step,
+                text_hidden=hidden,
+                text_mask=jnp.asarray(mask),
+            )
+            self._text_ready = True
+
+    def act(self, rgb_nav, rgb_manip, not_reset, oih) -> np.ndarray:
+        """One batched act. Arrays are host uint8/int; returns actions (B,)."""
+        if self.test_augmentation:
+            if self._aug_steps % self.cfg.train.max_steps == 0:
+                self._aug_key, sub = jax.random.split(self._aug_key)
+                self._aug_params = sample_augment_params(sub)
+            self._aug_steps += 1
+        self.rng, sub = jax.random.split(self.rng)
+        action, logits, v, cv, self.state = self._step_impl(
+            self.params,
+            self.state,
+            self._aug_params,
+            jnp.asarray(rgb_nav),
+            jnp.asarray(rgb_manip),
+            jnp.asarray(self.prev_action),
+            jnp.asarray(not_reset, jnp.int32),
+            jnp.asarray(oih, jnp.int32),
+            sub,
+        )
+        out = np.asarray(action)
+        self.prev_action = out.copy()
+        return out
+
+    def reset_streams(self, reset_mask: np.ndarray):
+        """Zero prev-action for reset streams (cache masking is handled by the
+        episode-window attention mask, as in training)."""
+        self.prev_action[reset_mask] = 0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        cfg: Config,
+        ckpt_path: Optional[str],
+        num_streams: int,
+        mode: str = "greedy",
+        seed: int = 123,
+        test_augmentation: bool = True,
+    ) -> "InferenceAgent":
+        """Checkpoint auto-detection: Orbax dir | torch file (3 reference
+        formats) | None (random init)."""
+        policy = SafeVLAPolicy(cfg.model)
+        params = jax.jit(policy.init_params)(jax.random.PRNGKey(seed))
+        if ckpt_path:
+            if os.path.isdir(ckpt_path):
+                from safevla_tpu.utils.checkpoint import restore_checkpoint
+
+                class _P:  # restore only the params subtree
+                    pass
+
+                restored = restore_checkpoint(ckpt_path, {"towers": params["towers"]})
+                params = {**params, "towers": restored["towers"]}
+            else:
+                from safevla_tpu.models.convert import (
+                    import_tower_state_dict,
+                    normalize_reference_checkpoint,
+                    split_tower_state_dicts,
+                )
+                import torch
+
+                ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+                flat = normalize_reference_checkpoint(ckpt)
+                towers = split_tower_state_dicts(flat)
+                actor = import_tower_state_dict(towers["actor"])
+                critic = import_tower_state_dict(towers["critic"]) if towers["critic"] else actor
+                c_critic = (
+                    import_tower_state_dict(towers["c_critic"])
+                    if towers["c_critic"]
+                    else actor
+                )
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    actor,
+                    critic,
+                    c_critic,
+                )
+                params = {**params, "towers": stacked}
+        return cls(cfg, params, num_streams, mode, seed, test_augmentation)

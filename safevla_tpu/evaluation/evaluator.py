@@ -1,0 +1,207 @@
+"""Batched evaluator: benchmark episodes -> queue -> env pool -> batched agent.
+
+TPU-first redesign of the reference eval architecture
+(reference: online_evaluation/online_evaluator.py:198-795 +
+online_evaluator_worker.py:53-701). The reference fans out N worker processes
+each owning a GPU agent; on TPU the single chip serves all streams, so the
+layout inverts: simulators parallelize in the env pool (processes), the policy
+acts once per step for the whole batch, episodes are pulled from a shared spec
+queue until empty. Output format (per-episode safety table, per-metric
+aggregation, per-object-type breakdown) matches the reference's tables.
+"""
+
+from __future__ import annotations
+
+import queue as _queue
+import time
+from collections import defaultdict
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from safevla_tpu.config import Config
+from safevla_tpu.evaluation.agent import InferenceAgent
+from safevla_tpu.evaluation.types import (
+    MAX_EPISODE_LEN_PER_TASK,
+    eval_sample_to_normalized_eval_sample,
+    normalized_eval_sample_to_task_spec,
+)
+from safevla_tpu.rollout.env_pool import EnvPool
+
+
+class MetricAggregator:
+    """Mean aggregation (reference online_evaluator.py:83-104)."""
+
+    def __init__(self):
+        self.sample_metrics: List[float] = []
+
+    def update(self, metric: float):
+        self.sample_metrics.append(metric)
+
+    def aggregate(self) -> float:
+        return sum(self.sample_metrics) / (len(self.sample_metrics) + 1e-10)
+
+    def size(self) -> int:
+        return len(self.sample_metrics)
+
+
+SAFETY_TABLE_COLUMNS = [
+    "sample_id", "success", "sel", "spl", "ep_length",
+    "cost", "cost_corner", "cost_danger", "cost_blind",
+    "cost_fragile", "cost_critical",
+]
+
+
+class BatchedEvaluator:
+    def __init__(
+        self,
+        cfg: Config,
+        sampler_factory_builder: Callable[[Any], Callable[[int], Any]],
+        num_streams: Optional[int] = None,
+        num_workers: int = 0,
+        max_eval_tasks: Optional[int] = None,
+    ):
+        """`sampler_factory_builder(tasks_queue) -> sampler_factory(stream_id)`
+        must build samplers whose task_spec_sampler drains `tasks_queue`."""
+        self.cfg = cfg
+        self.num_streams = num_streams or cfg.eval.num_workers
+        self.num_workers = num_workers
+        self.sampler_factory_builder = sampler_factory_builder
+        self.max_eval_tasks = max_eval_tasks or cfg.eval.max_eval_tasks
+
+    # ------------------------------------------------------------------
+    def evaluate(
+        self,
+        agent: InferenceAgent,
+        eval_samples: List[Dict[str, Any]],
+        task_type: str,
+        progress_every: int = 50,
+    ) -> Dict[str, Any]:
+        samples = eval_samples[: self.max_eval_tasks] if self.max_eval_tasks else eval_samples
+        normalized = [
+            eval_sample_to_normalized_eval_sample(task_type, s, i)
+            for i, s in enumerate(samples)
+        ]
+        tasks_queue: _queue.Queue = _queue.Queue()
+        for s in normalized:
+            tasks_queue.put(s)
+        total = len(normalized)
+
+        factory = self.sampler_factory_builder(tasks_queue)
+        pool = EnvPool(factory, num_streams=self.num_streams, num_workers=self.num_workers)
+
+        active = np.array([s is not None for s in pool.initial_steps()])
+        steps = pool.initial_steps()
+        max_len = MAX_EPISODE_LEN_PER_TASK.get(task_type, 600)
+
+        agent.set_instructions(
+            [s.instruction if s else "" for s in steps]
+        )
+        all_metrics: List[Dict[str, Any]] = []
+        t0 = time.time()
+        episode_steps = np.zeros(self.num_streams, np.int64)
+
+        while active.any():
+            obs = [s.obs if s is not None and s.obs is not None else None for s in steps]
+            # streams that are done keep replaying a zero frame (masked out)
+            ref = next(o for o in obs if o is not None)
+            rgb_nav = np.stack(
+                [o["rgb_raw"] if o is not None else np.zeros_like(ref["rgb_raw"]) for o in obs]
+            )
+            rgb_manip = np.stack(
+                [
+                    o.get("manipulation_rgb_raw", o["rgb_raw"])
+                    if o is not None
+                    else np.zeros_like(ref["rgb_raw"])
+                    for o in obs
+                ]
+            )
+            new_episode = np.array(
+                [bool(s.new_episode) if s is not None else False for s in steps]
+            )
+            oih = np.array(
+                [
+                    int(np.asarray(o.get("an_object_is_in_hand", 0)).reshape(-1)[0])
+                    if o is not None
+                    else 0
+                    for o in obs
+                ],
+                np.int32,
+            )
+            agent.reset_streams(new_episode)
+            actions = agent.act(rgb_nav, rgb_manip, (~new_episode).astype(np.int32), oih)
+
+            next_steps = pool.step([int(a) for a in actions])
+            episode_steps += 1
+            for i, s in enumerate(next_steps):
+                if not active[i]:
+                    continue
+                if s.metrics is not None:
+                    m = dict(s.metrics)
+                    m["ep_steps_measured"] = int(episode_steps[i])
+                    all_metrics.append(m)
+                    episode_steps[i] = 0
+                    if len(all_metrics) % progress_every == 0:
+                        done_n = len(all_metrics)
+                        rate = done_n / max(time.time() - t0, 1e-9)
+                        eta = (total - done_n) / max(rate, 1e-9)
+                        print(
+                            f"eval progress {done_n}/{total} "
+                            f"({rate:.2f} eps/s, ETA {eta:.0f}s)",
+                            flush=True,
+                        )
+                if s.done and not s.new_episode:
+                    active[i] = False
+            # install fresh instructions
+            agent.set_instructions(
+                [
+                    s.instruction if (s is not None and s.new_episode) else None
+                    for s in next_steps
+                ]
+            )
+            steps = next_steps
+
+        pool.close()
+        return self.aggregate_results(all_metrics, task_type)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def aggregate_results(
+        all_metrics: List[Dict[str, Any]], task_type: str
+    ) -> Dict[str, Any]:
+        agg: Dict[str, MetricAggregator] = defaultdict(MetricAggregator)
+        per_object: Dict[str, Dict[str, MetricAggregator]] = defaultdict(
+            lambda: defaultdict(MetricAggregator)
+        )
+        safety_table = []
+        for m in all_metrics:
+            for k, v in m.items():
+                if isinstance(v, (bool, np.bool_)):
+                    agg[k].update(float(v))
+                elif isinstance(v, (int, float, np.integer, np.floating)):
+                    agg[k].update(float(v))
+            info = m.get("task_info", {})
+            synsets = info.get("synsets", [])
+            obj_key = synsets[0] if synsets else "unknown"
+            for k in ("success", "cost", "sel", "spl"):
+                if k in m and m[k] is not None:
+                    per_object[obj_key][k].update(float(m[k]))
+            safety_table.append(
+                {
+                    "sample_id": info.get("eval_info", {}).get("sample_id", info.get("id", "")),
+                    **{
+                        k: m.get(k)
+                        for k in SAFETY_TABLE_COLUMNS[1:]
+                    },
+                }
+            )
+        return {
+            "task_type": task_type,
+            "num_episodes": len(all_metrics),
+            "aggregate": {k: v.aggregate() for k, v in agg.items()},
+            "per_object": {
+                obj: {k: v.aggregate() for k, v in d.items()}
+                for obj, d in per_object.items()
+            },
+            "safety_table": safety_table,
+        }

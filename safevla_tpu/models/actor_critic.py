@@ -249,10 +249,19 @@ class PolicyTower(nn.Module):
         object_in_hand,  # (B, T) int32
         time_step,  # (B, T) int32 in-episode step index
         attn_mask,  # (B, 1, T, T) bool
+        text_idx=None,  # (B, T) int32 into a (B, E, L, D) episode-text table
     ):
         b, t = dino_nav.shape[:2]
         flat = lambda x: x.reshape((b * t,) + x.shape[2:])
-        if text_hidden.ndim == 4:
+        if text_idx is not None:
+            # text table (B, E, L, D): rollouts pack multiple episodes per
+            # window; each step gathers its episode's instruction encoding
+            batch_ids = jnp.arange(b)[:, None]
+            text_h = text_hidden[batch_ids, text_idx].reshape(
+                (b * t,) + text_hidden.shape[2:]
+            )
+            text_m = text_mask[batch_ids, text_idx].reshape(b * t, -1)
+        elif text_hidden.ndim == 4:
             # per-step text (episodes with different instructions packed in T)
             text_h = text_hidden.reshape((b * t,) + text_hidden.shape[2:])
             text_m = text_mask.reshape(b * t, -1)
@@ -260,14 +269,31 @@ class PolicyTower(nn.Module):
             # one instruction per sampler, broadcast across timesteps
             text_h = jnp.repeat(text_hidden, t, axis=0)
             text_m = jnp.repeat(text_mask, t, axis=0)
-        fused = self._fuse(
+        fused = self.embed_obs(
             flat(dino_nav),
             flat(dino_manip) if dino_manip is not None else None,
             text_h,
             text_m,
         )
         obs_embeds = fused.reshape(b, t, -1)
-        joint = self._joint_embed(obs_embeds, prev_actions, not_reset, object_in_hand, time_step)
+        return self.decode_heads(
+            obs_embeds, prev_actions, not_reset, object_in_hand, time_step, attn_mask
+        )
+
+    def embed_obs(self, dino_nav_flat, dino_manip_flat, text_h, text_m):
+        """Per-step fusion embedding over a flat (N, ...) batch -> (N, D).
+
+        Per-step independent, so callers may process the packed rollout in
+        chunks (SafeVLAPolicy.forward_seq does, under rematerialization)."""
+        return self._fuse(dino_nav_flat, dino_manip_flat, text_h, text_m)
+
+    def decode_heads(
+        self, obs_embeds, prev_actions, not_reset, object_in_hand, time_step, attn_mask
+    ):
+        """(B, T, D) observation embeddings -> decoder + actor/critic heads."""
+        joint = self._joint_embed(
+            obs_embeds, prev_actions, not_reset, object_in_hand, time_step
+        )
         beliefs = self.decoder.full(joint, attn_mask)
         return self._heads(beliefs)
 
@@ -405,20 +431,68 @@ class SafeVLAPolicy:
         object_in_hand,
         time_step,
         traj_idx,
+        text_idx=None,
     ) -> PolicyOutputs:
-        """Update-time full-sequence forward with trajectory-packed masking."""
+        """Update-time full-sequence forward with trajectory-packed masking.
+
+        The per-step fusion encoder runs over the packed (B*T) batch in
+        chunks of cfg.fusion_chunk under jax.checkpoint: the fusion attention
+        (N x 201 x 201 logits) never materializes for the whole window, and
+        its activations are recomputed instead of stored for the backward
+        pass — the decoder (tiny by comparison) stays full-sequence.
+        """
         attn_mask = packed_block_causal_mask(traj_idx)
+        b, t = dino_nav.shape[:2]
+        n = b * t
+        flat = lambda x: x.reshape((n,) + x.shape[2:])
 
-        def one_tower(tp, *args):
-            return self.tower.apply(tp, *args, method=PolicyTower.full_seq)
+        # resolve per-step text (flat) from table/per-step/per-sampler forms
+        if text_idx is not None:
+            batch_ids = jnp.arange(b)[:, None]
+            text_h = text_hidden[batch_ids, text_idx].reshape(
+                (n,) + text_hidden.shape[2:]
+            )
+            text_m = text_mask[batch_ids, text_idx].reshape(n, -1)
+        elif text_hidden.ndim == 4:
+            text_h = text_hidden.reshape((n,) + text_hidden.shape[2:])
+            text_m = text_mask.reshape(n, -1)
+        else:
+            text_h = jnp.repeat(text_hidden, t, axis=0)
+            text_m = jnp.repeat(text_mask, t, axis=0)
 
-        logits, values, value_logits, sg = self._vmap_towers(
-            one_tower,
-            params,
-            dino_nav,
-            dino_manip,
-            text_hidden,
-            text_mask,
+        chunk = min(self.cfg.fusion_chunk or n, n)
+        while n % chunk:
+            chunk -= 1
+        n_chunks = n // chunk
+        as_chunks = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
+        chunked_args = (
+            as_chunks(flat(dino_nav)),
+            as_chunks(flat(dino_manip)) if dino_manip is not None else None,
+            as_chunks(text_h),
+            as_chunks(text_m),
+        )
+
+        def one_tower(tp, chunked_args, prev_actions, not_reset, oih, tstep, mask):
+            @jax.checkpoint
+            def embed(args):
+                dn, dm, th, tm = args
+                return self.tower.apply(tp, dn, dm, th, tm, method=PolicyTower.embed_obs)
+
+            if n_chunks == 1:
+                fused = embed(jax.tree.map(lambda x: x[0], chunked_args))
+            else:
+                fused = jax.lax.map(embed, chunked_args).reshape(n, -1)
+            obs_embeds = fused.reshape(b, t, -1)
+            return self.tower.apply(
+                tp, obs_embeds, prev_actions, not_reset, oih, tstep, mask,
+                method=PolicyTower.decode_heads,
+            )
+
+        logits, values, value_logits, sg = jax.vmap(
+            one_tower, in_axes=(0,) + (None,) * 6
+        )(
+            params["towers"],
+            chunked_args,
             prev_actions,
             not_reset,
             object_in_hand,

@@ -175,8 +175,17 @@ def cluster_objects(
     n = len(objects)
     if n == 0:
         return []
-    positions = [(o["position"]["x"], o["position"]["y"], o["position"]["z"]) for o in objects]
-    visited = [False] * n
+    import numpy as np
+
+    pos = np.array(
+        [
+            (o["position"]["x"], o["position"]["y"], o["position"]["z"])
+            for o in objects
+        ]
+    )
+    d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    adj = d2 < density_threshold**2
+    visited = np.zeros(n, bool)
     clusters: List[List[ObjectMeta]] = []
     for i in range(n):
         if visited[i]:
@@ -189,14 +198,9 @@ def cluster_objects(
             cur = queue[head]
             head += 1
             members.append(objects[cur])
-            cx, cy, cz = positions[cur]
-            for j in range(n):
-                if visited[j]:
-                    continue
-                x, y, z = positions[j]
-                if (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2 < density_threshold**2:
-                    visited[j] = True
-                    queue.append(j)
+            neighbors = np.nonzero(adj[cur] & ~visited)[0]
+            visited[neighbors] = True
+            queue.extend(neighbors.tolist())
         kept = [
             o
             for o in members

@@ -177,7 +177,12 @@ class TaskSpecQueue(TaskSpecSampler):
     def next_task_spec(
         self, force_advance_scene: bool = False, house_index: Optional[int] = None
     ) -> TaskSpec:
-        item = self.queue.get(timeout=self.timeout)
+        import queue as _queue
+
+        try:
+            item = self.queue.get(timeout=self.timeout)
+        except _queue.Empty:
+            raise StopIteration
         self.last_task_spec = self.convert(item) if self.convert else map_task_spec(item)
         return self.last_task_spec
 

@@ -1,0 +1,241 @@
+"""Offline imitation learning (behavior cloning) trainer.
+
+Counterpart of the reference's Lightning DDP trainer
+(reference: training/offline/train_pl.py:82-494) with the TPU-first twist
+that the OFFLINE model IS the online PolicyTower (actor tower only): the
+reference maintains a separate `EarlyFusionCnnTransformer` and remaps keys to
+move IL weights into the RL model (train_utils.py:6-69); here the param trees
+are identical by construction, so IL -> RL init is a copy.
+
+One jitted BC step: uint8 frames -> normalize+augment -> frozen DINOv2 ->
+tower full-sequence forward (simple causal mask: one episode window per row)
+-> CE loss with ignore-index -1 -> AdamW. Sharded over dp like the RL learner.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from safevla_tpu.config import Config
+from safevla_tpu.constants import DINO_RGB_MEANS, DINO_RGB_STDS
+from safevla_tpu.models.actor_critic import PolicyTower, SafeVLAPolicy
+from safevla_tpu.preprocessing.augment import (
+    apply_augment,
+    identity_augment_params,
+    sample_augment_params,
+)
+from safevla_tpu.preprocessing.tokenize import InstructionTokenizer
+from safevla_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+
+
+class BCTrainState(NamedTuple):
+    tower_params: Any
+    frozen_params: Any
+    opt_state: optax.OptState
+    step: jax.Array
+    epoch: jax.Array
+
+
+def cross_entropy_ignore_index(logits, targets, ignore_index: int = -1):
+    """Mean CE over non-ignored positions (reference nn.CrossEntropyLoss(ignore_index=-1))."""
+    valid = targets != ignore_index
+    safe_targets = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+class OfflineTrainer:
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.policy = SafeVLAPolicy(cfg.model)
+        self.tokenizer = InstructionTokenizer(
+            cfg.model.text_backbone, cfg.model.text_max_tokens
+        )
+        self.tx = optax.adamw(cfg.offline.lr)
+        self.mesh = mesh
+        self._aug_key = jax.random.PRNGKey(7)
+        self._jit_step = jax.jit(self._bc_step, donate_argnums=0)
+        self._jit_eval = jax.jit(self._eval_step)
+        self._jit_encode_text = jax.jit(
+            lambda p, t, m: self.policy.encode_text(p, t, m)
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None) -> BCTrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.train.seed)
+        params = self.policy.init_params(rng)
+        return BCTrainState(
+            tower_params=params["towers"],
+            frozen_params={"vit": params["vit"], "t5": params["t5"]},
+            opt_state=self.tx.init(params["towers"]),
+            step=jnp.zeros((), jnp.int32),
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _forward(self, tower_params, frozen, batch, aug):
+        cfg = self.cfg
+        b, t = batch["rgb_nav"].shape[:2]
+        imgs = jnp.concatenate([batch["rgb_nav"], batch["rgb_manip"]], axis=0)
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])
+        x01 = apply_augment(imgs.astype(jnp.float32) / 255.0, aug)
+        x = (x01 - jnp.asarray(DINO_RGB_MEANS)) / jnp.asarray(DINO_RGB_STDS)
+        params = {"towers": tower_params, **frozen}
+        feats = self.policy.encode_images(params, x)
+        feats = feats.reshape((2 * b, t) + feats.shape[1:])
+        dino_nav, dino_manip = feats[:b], feats[b:]
+
+        out = self.policy.forward_seq(
+            params,
+            dino_nav,
+            dino_manip,
+            batch["text_hidden"],
+            batch["text_mask"],
+            batch["last_actions"],
+            # not_reset gates the prev-action null token; the BC windows carry
+            # explicit start tokens in last_actions, so keep the gate open
+            jnp.ones((b, t), jnp.int32),
+            batch["an_object_is_in_hand"],
+            batch["time_ids"],
+            # one episode per row: plain causal mask via constant traj index
+            jnp.zeros((b, t), jnp.int32),
+        )
+        return out.logits
+
+    def _bc_loss(self, tower_params, frozen, batch, aug):
+        logits = self._forward(tower_params, frozen, batch, aug)
+        loss = cross_entropy_ignore_index(logits, batch["actions"])
+        preds = jnp.argmax(logits, axis=-1)
+        valid = batch["actions"] != -1
+        acc = jnp.sum((preds == batch["actions"]) * valid) / jnp.maximum(
+            jnp.sum(valid), 1
+        )
+        return loss, {"bc_loss": loss, "accuracy": acc}
+
+    def _bc_step(self, state: BCTrainState, batch, aug):
+        (loss, metrics), grads = jax.value_and_grad(self._bc_loss, has_aux=True)(
+            state.tower_params, state.frozen_params, batch, aug
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.tower_params)
+        tower_params = optax.apply_updates(state.tower_params, updates)
+        return (
+            BCTrainState(
+                tower_params=tower_params,
+                frozen_params=state.frozen_params,
+                opt_state=opt_state,
+                step=state.step + 1,
+                epoch=state.epoch,
+            ),
+            metrics,
+        )
+
+    def _eval_step(self, state: BCTrainState, batch):
+        logits = self._forward(
+            state.tower_params, state.frozen_params, batch, identity_augment_params()
+        )
+        loss = cross_entropy_ignore_index(logits, batch["actions"])
+        preds = jnp.argmax(logits, axis=-1)
+        valid = batch["actions"] != -1
+        acc = jnp.sum((preds == batch["actions"]) * valid) / jnp.maximum(jnp.sum(valid), 1)
+        return {"val_loss": loss, "val_accuracy": acc, "preds": preds, "valid": valid}
+
+    # ------------------------------------------------------------------
+    def prepare_batch(self, host_batch: Dict[str, Any], params=None) -> Dict[str, jnp.ndarray]:
+        """Tokenize+encode instructions (frozen T5) and device-put the batch."""
+        tokens, mask = self.tokenizer.encode_batch(host_batch["instructions"])
+        frozen = params if params is not None else self._frozen_cache
+        text_hidden = self._jit_encode_text(frozen, jnp.asarray(tokens), jnp.asarray(mask))
+        return {
+            "rgb_nav": jnp.asarray(host_batch["rgb_nav"]),
+            "rgb_manip": jnp.asarray(host_batch["rgb_manip"]),
+            "last_actions": jnp.asarray(host_batch["last_actions"]),
+            "actions": jnp.asarray(host_batch["actions"]),
+            "time_ids": jnp.asarray(host_batch["time_ids"]),
+            "an_object_is_in_hand": jnp.asarray(host_batch["an_object_is_in_hand"]),
+            "text_hidden": text_hidden,
+            "text_mask": jnp.asarray(mask),
+        }
+
+    def per_action_f1(self, preds: np.ndarray, targets: np.ndarray) -> Dict[str, float]:
+        """Macro/per-action F1 (reference train_pl.py F1 metrics)."""
+        from safevla_tpu.constants import ALL_STRETCH_ACTIONS
+
+        out = {}
+        f1s = []
+        for a, name in enumerate(ALL_STRETCH_ACTIONS):
+            tp = np.sum((preds == a) & (targets == a))
+            fp = np.sum((preds == a) & (targets != a) & (targets != -1))
+            fn = np.sum((preds != a) & (targets == a))
+            denom = 2 * tp + fp + fn
+            f1 = 2 * tp / denom if denom > 0 else 0.0
+            out[f"f1/{name}"] = float(f1)
+            if (targets == a).any():
+                f1s.append(f1)
+        out["f1/macro"] = float(np.mean(f1s)) if f1s else 0.0
+        return out
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_batches: Callable[[], Iterable[Dict[str, Any]]],
+        val_batches: Optional[Callable[[], Iterable[Dict[str, Any]]]] = None,
+        num_epochs: Optional[int] = None,
+        state: Optional[BCTrainState] = None,
+        log_fn: Optional[Callable[[Dict[str, Any], int], None]] = None,
+        curriculum_fn: Optional[Callable[[int], None]] = None,
+        output_dir: Optional[str] = None,
+    ) -> BCTrainState:
+        cfg = self.cfg
+        state = state if state is not None else self.init_state()
+        self._frozen_cache = state.frozen_params
+        log_fn = log_fn or (lambda m, s: print(f"[bc {s}] {m}", flush=True))
+        num_epochs = num_epochs or cfg.offline.num_epochs
+        out_dir = output_dir or os.path.join(cfg.train.output_dir, "offline")
+
+        for epoch in range(int(state.epoch), num_epochs):
+            if curriculum_fn:
+                curriculum_fn(epoch)
+            t0 = time.time()
+            n = 0
+            self._aug_key, sub = jax.random.split(self._aug_key)
+            aug = (
+                sample_augment_params(sub)
+                if cfg.train.use_data_augmentation
+                else identity_augment_params()
+            )
+            for host_batch in train_batches():
+                batch = self.prepare_batch(host_batch, state.frozen_params)
+                state, metrics = self._jit_step(state, batch, aug)
+                n += 1
+            log = {k: float(v) for k, v in metrics.items()}
+            log["epoch_seconds"] = time.time() - t0
+            log["batches"] = n
+
+            if val_batches is not None:
+                preds_all, targets_all, losses = [], [], []
+                for host_batch in val_batches():
+                    batch = self.prepare_batch(host_batch, state.frozen_params)
+                    ev = self._jit_eval(state, batch)
+                    preds_all.append(np.asarray(ev["preds"]))
+                    targets_all.append(np.asarray(batch["actions"]))
+                    losses.append(float(ev["val_loss"]))
+                if losses:
+                    preds = np.concatenate([p.ravel() for p in preds_all])
+                    targets = np.concatenate([t.ravel() for t in targets_all])
+                    log["val_loss"] = float(np.mean(losses))
+                    log.update(self.per_action_f1(preds, targets))
+
+            state = state._replace(epoch=state.epoch + 1)
+            log_fn(log, int(state.step))
+            if output_dir is not None or out_dir:
+                save_checkpoint(out_dir, state, int(state.step))
+        return state

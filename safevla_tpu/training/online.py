@@ -1,0 +1,151 @@
+"""Online constrained-RL training loop.
+
+The top of the stack: wires EnvPool -> RolloutRunner -> Learner with the
+reference's 3-stage pipeline, checkpointing, and metric accumulation.
+Replaces the reference's OnPolicyRunner + ExperimentConfig plugin architecture
+(reference: training/online/allenact_trainer.py, dinov2_vits_tsfm_base.py)
+with a ~200-line owned loop: the heavy lifting is all inside the two jitted
+programs (rollout policy_step and learner update).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from safevla_tpu.algo.learner import Learner, TrainState
+from safevla_tpu.config import Config
+from safevla_tpu.models.actor_critic import SafeVLAPolicy
+from safevla_tpu.rollout.env_pool import EnvPool
+from safevla_tpu.rollout.runner import RolloutRunner
+from safevla_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+
+
+class MetricAccumulator:
+    def __init__(self):
+        self._sums = defaultdict(float)
+        self._counts = defaultdict(int)
+
+    def add(self, metrics: Dict[str, Any]):
+        for k, v in metrics.items():
+            if isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(v, bool):
+                self._sums[k] += float(v)
+                self._counts[k] += 1
+            elif isinstance(v, bool):
+                self._sums[k] += float(v)
+                self._counts[k] += 1
+
+    def means(self) -> Dict[str, float]:
+        return {k: self._sums[k] / max(self._counts[k], 1) for k in self._sums}
+
+    def reset(self):
+        self._sums.clear()
+        self._counts.clear()
+
+
+class OnlineTrainer:
+    def __init__(
+        self,
+        cfg: Config,
+        sampler_factory: Callable[[int], Any],
+        mesh=None,
+        num_workers: Optional[int] = None,
+        log_fn: Optional[Callable[[Dict[str, Any], int], None]] = None,
+    ):
+        self.cfg = cfg
+        self.policy = SafeVLAPolicy(cfg.model)
+        self.learner = Learner(self.policy, cfg, mesh=mesh)
+        self.pool = EnvPool(
+            sampler_factory,
+            num_streams=cfg.train.num_train_processes,
+            num_workers=num_workers,
+        )
+        self.runner = RolloutRunner(self.policy, cfg, self.pool, seed=cfg.train.seed)
+        self.log_fn = log_fn or self._default_log
+        self.episode_accum = MetricAccumulator()
+        self.output_dir = os.path.join(cfg.train.output_dir, cfg.train.tag)
+        os.makedirs(self.output_dir, exist_ok=True)
+
+    @staticmethod
+    def _default_log(metrics: Dict[str, Any], step: int):
+        printable = {
+            k: (round(v, 4) if isinstance(v, float) else v) for k, v in metrics.items()
+        }
+        print(f"[step {step}] {json.dumps(printable, default=str)}", flush=True)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        state = self.learner.init(rng)
+        if self.cfg.train.resume_ckpt_path:
+            state = restore_checkpoint(self.cfg.train.resume_ckpt_path, state)
+            print(f"resumed from {self.cfg.train.resume_ckpt_path}")
+        elif self.cfg.train.il_ckpt_path:
+            from safevla_tpu.models.convert import load_reference_checkpoint
+
+            state = load_reference_checkpoint(self.cfg.train.il_ckpt_path, state)
+        else:
+            auto = latest_checkpoint(self.output_dir)
+            if auto:
+                state = restore_checkpoint(auto, state)
+                print(f"auto-resumed from {auto}")
+        return state
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        total_steps: Optional[int] = None,
+        train_state: Optional[TrainState] = None,
+        max_wall_seconds: Optional[float] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        ts = train_state if train_state is not None else self.init_state()
+        total = total_steps if total_steps is not None else cfg.train.total_steps
+        last_save = int(ts.step)
+        t_start = time.time()
+
+        while int(ts.step) < total:
+            step0 = int(ts.step)
+            stage = self.learner.stage_for_step(step0)
+            params = {"towers": ts.tower_params, **ts.frozen_params}
+
+            batch, roll_stats = self.runner.collect(params, cfg.ppo.num_steps)
+            ts, metrics = self.learner.update(
+                ts, batch, roll_stats["mean_episode_cost"], stage
+            )
+
+            for m in self.runner.pop_metrics():
+                self.episode_accum.add(m)
+
+            step_now = int(ts.step)
+            log = {
+                "stage": stage,
+                **{k: float(v) for k, v in metrics.items()},
+                **roll_stats,
+                "total_fps": (step_now - step0)
+                / max(time.time() - t_start, 1e-9)
+                if step_now == step0 + cfg.ppo.num_steps * self.pool.num_streams
+                else None,
+            }
+            ep_means = self.episode_accum.means()
+            if ep_means:
+                log.update({f"ep/{k}": v for k, v in ep_means.items()})
+            self.log_fn({k: v for k, v in log.items() if v is not None}, step_now)
+
+            if step_now - last_save >= cfg.train.save_interval:
+                path = save_checkpoint(self.output_dir, ts, step_now)
+                last_save = step_now
+                print(f"saved checkpoint {path}")
+
+            if max_wall_seconds and time.time() - t_start > max_wall_seconds:
+                break
+        return ts
+
+    def close(self):
+        self.pool.close()

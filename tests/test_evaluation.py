@@ -1,0 +1,141 @@
+"""Batched evaluator over FakeController episodes."""
+
+import numpy as np
+import pytest
+
+from safevla_tpu.config import Config
+from safevla_tpu.constants import ALL_STRETCH_ACTIONS
+from safevla_tpu.envs.fake_controller import FakeController
+from safevla_tpu.envs.sensors import default_train_sensors
+from safevla_tpu.evaluation import (
+    MAX_EPISODE_LEN_PER_TASK,
+    eval_sample_to_normalized_eval_sample,
+    normalized_eval_sample_to_task_spec,
+)
+from safevla_tpu.tasks import MultiTaskSampler, TaskSpecQueue
+
+
+def _eval_samples(n=6):
+    controller = FakeController(seed=0)
+    objs = controller.get_objects()
+    samples = []
+    for i in range(n):
+        target = objs[i % len(objs)]
+        synset = target["objectType"].lower() + ".n.01"
+        ids = [o["objectId"] for o in objs if o["objectType"] == target["objectType"]]
+        samples.append(
+            {
+                "task_type": "ObjectNavType",
+                "house_index": 0,
+                "natural_language_spec": f"find a {target['objectType'].lower()}",
+                "agent_starting_position": [1.5, 0.9, 3.0],
+                "agent_y_rotation": float(i * 30),
+                "expert_length": 10,
+                "synsets": [synset],
+                "synset_to_object_ids": {synset: ids},
+                "broad_synset_to_object_ids": {synset: ids},
+            }
+        )
+    return samples
+
+
+def test_normalize_roundtrip():
+    s = _eval_samples(1)[0]
+    norm = eval_sample_to_normalized_eval_sample("ObjectNavType", s, 0)
+    assert norm["sample_id"].startswith("task=ObjectNavType,house=0")
+    spec = normalized_eval_sample_to_task_spec(norm)
+    assert spec["task_type"] == "ObjectNavType"
+    assert spec["synsets"] == s["synsets"]
+    assert spec["agent_y_rotation"] == s["agent_y_rotation"]
+    assert spec["eval_info"]["sample_id"] == norm["sample_id"]
+
+
+def test_max_episode_lengths_cover_registered_tasks():
+    for t in ("ObjectNavType", "FetchType", "PickupType", "RoomVisit"):
+        assert t in MAX_EPISODE_LEN_PER_TASK
+
+
+def test_batched_evaluator_runs(tiny_model_cfg):
+    from safevla_tpu.evaluation.agent import InferenceAgent
+    from safevla_tpu.evaluation.evaluator import BatchedEvaluator
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+
+    cfg = Config()
+    cfg.model = tiny_model_cfg
+    cfg.train.max_steps = tiny_model_cfg.max_steps
+    hw = tiny_model_cfg.image_size
+
+    def factory_builder(tasks_queue):
+        def factory(stream_id):
+            controller = FakeController(
+                seed=0, image_height=hw[0], image_width=hw[1]
+            )
+            return MultiTaskSampler(
+                mode="val",
+                task_args=dict(
+                    sensors=default_train_sensors(rgb_height=hw[0], rgb_width=hw[1]),
+                    max_steps=10,
+                    action_names=ALL_STRETCH_ACTIONS,
+                    reward_config=None,
+                ),
+                houses=[{"rooms": [{}, {}]}],
+                house_inds=[0],
+                controller_args={"seed": 0, "image_height": hw[0], "image_width": hw[1]},
+                controller_type=FakeController,
+                task_spec_sampler=TaskSpecQueue(
+                    tasks_queue,
+                    convert=normalized_eval_sample_to_task_spec,
+                    timeout=0.2,
+                ),
+                controller=controller,
+            )
+
+        return factory
+
+    evaluator = BatchedEvaluator(
+        cfg, factory_builder, num_streams=2, num_workers=0
+    )
+    import jax
+
+    policy = SafeVLAPolicy(cfg.model)
+    params = policy.init_params(jax.random.PRNGKey(0))
+    agent = InferenceAgent(cfg, params, num_streams=2, mode="greedy", seed=123)
+
+    results = evaluator.evaluate(agent, _eval_samples(5), "ObjectNavType")
+    assert results["num_episodes"] == 5
+    agg = results["aggregate"]
+    assert "success" in agg and "cost" in agg and "sel" in agg
+    assert 0.0 <= agg["success"] <= 1.0
+    assert len(results["safety_table"]) == 5
+    assert "cost_corner" in results["safety_table"][0]
+    assert results["per_object"]
+
+
+def test_greedy_agent_is_deterministic(tiny_model_cfg):
+    import jax
+
+    from safevla_tpu.evaluation.agent import InferenceAgent
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+
+    cfg = Config()
+    cfg.model = tiny_model_cfg
+    cfg.train.max_steps = tiny_model_cfg.max_steps
+    policy = SafeVLAPolicy(cfg.model)
+    params = policy.init_params(jax.random.PRNGKey(0))
+
+    h, w = tiny_model_cfg.image_size
+    rgb = np.random.default_rng(0).integers(0, 255, (2, h, w, 3), dtype=np.uint8)
+
+    def run():
+        agent = InferenceAgent(
+            cfg, params, num_streams=2, mode="greedy", seed=123,
+            test_augmentation=True,
+        )
+        agent.set_instructions(["go to a mug", "go to a vase"])
+        acts = []
+        for t in range(4):
+            nr = np.array([0, 0], np.int32) if t == 0 else np.array([1, 1], np.int32)
+            acts.append(agent.act(rgb, rgb, nr, np.zeros(2, np.int32)).tolist())
+        return acts
+
+    assert run() == run()

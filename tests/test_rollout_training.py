@@ -1,0 +1,158 @@
+"""End-to-end: FakeController envs -> rollout runner -> learner update."""
+
+import jax
+import numpy as np
+import pytest
+
+from safevla_tpu.config import Config
+from safevla_tpu.constants import ALL_STRETCH_ACTIONS
+from safevla_tpu.envs.fake_controller import FakeController
+from safevla_tpu.envs.sensors import default_train_sensors
+from safevla_tpu.tasks import MultiTaskSampler, TaskSpecSamplerInfiniteList
+from safevla_tpu.types import RewardConfig
+
+
+def make_sampler_factory(max_steps=8, image_hw=(28, 42)):
+    def factory(stream_id: int):
+        controller = FakeController(
+            seed=stream_id, image_height=image_hw[0], image_width=image_hw[1]
+        )
+        objs = controller.get_objects()
+        target = objs[stream_id % len(objs)]
+        synset = target["objectType"].lower() + ".n.01"
+        ids = [o["objectId"] for o in objs if o["objectType"] == target["objectType"]]
+        spec = {
+            "task_type": "ObjectNavType",
+            "house_index": 0,
+            "natural_language_spec": f"go to a {target['objectType'].lower()}",
+            "agent_starting_position": [1.5, 0.9, 3.0],
+            "agent_y_rotation": 0.0,
+            "synsets": [synset],
+            "synset_to_object_ids": {synset: ids},
+            "broad_synset_to_object_ids": {synset: ids},
+        }
+        return MultiTaskSampler(
+            mode="train",
+            task_args=dict(
+                sensors=default_train_sensors(
+                    rgb_height=image_hw[0], rgb_width=image_hw[1]
+                ),
+                max_steps=max_steps,
+                action_names=ALL_STRETCH_ACTIONS,
+                reward_config=RewardConfig(goal_success_reward=10.0),
+            ),
+            houses=[{"rooms": [{}, {}]}],
+            house_inds=[0],
+            controller_args={"seed": stream_id, "image_height": image_hw[0], "image_width": image_hw[1]},
+            controller_type=FakeController,
+            task_spec_sampler=TaskSpecSamplerInfiniteList(
+                {0: [spec]}, shuffle=True, repeat_house_until_forced=True
+            ),
+            controller=controller,
+        )
+
+    return factory
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tiny_model_cfg):
+    cfg = Config()
+    cfg.model = tiny_model_cfg
+    cfg.ppo.num_steps = 12
+    cfg.ppo.update_repeats = 2
+    cfg.train.num_train_processes = 3
+    cfg.train.max_steps = cfg.model.max_steps
+    cfg.train.use_data_augmentation = True
+    return cfg
+
+
+def test_env_pool_inline(tiny_cfg):
+    from safevla_tpu.rollout.env_pool import EnvPool
+
+    pool = EnvPool(make_sampler_factory(), num_streams=2, num_workers=0)
+    first = pool.initial_steps()
+    assert all(s.new_episode for s in first)
+    out = pool.step([0, 1])
+    assert len(out) == 2
+    assert out[0].obs["rgb_raw"].dtype == np.uint8
+    pool.close()
+
+
+def test_rollout_collect_and_update(tiny_cfg):
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+    from safevla_tpu.rollout.env_pool import EnvPool
+    from safevla_tpu.rollout.runner import RolloutRunner
+
+    policy = SafeVLAPolicy(tiny_cfg.model)
+    learner = Learner(policy, tiny_cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    pool = EnvPool(
+        make_sampler_factory(max_steps=5),
+        num_streams=tiny_cfg.train.num_train_processes,
+        num_workers=0,
+    )
+    runner = RolloutRunner(policy, tiny_cfg, pool, seed=0)
+    params = {"towers": ts.tower_params, **ts.frozen_params}
+
+    batch, stats = runner.collect(params, tiny_cfg.ppo.num_steps)
+    B, T = tiny_cfg.train.num_train_processes, tiny_cfg.ppo.num_steps
+    assert batch["dino_nav"].shape[:2] == (B, T)
+    assert batch["values"].shape == (B, T + 1)
+    assert batch["masks"].shape == (B, T + 1)
+    # episodes are 5 steps; at least one reset must appear in a 12-step window
+    assert float(batch["masks"][:, 1:].min()) == 0.0
+    assert stats["episodes_completed"] > 0
+    assert stats["mean_episode_cost"] >= 0.0
+
+    # learner consumes the batch in every stage
+    for stage in (0, 1):
+        ts, metrics = learner.update(ts, batch, stats["mean_episode_cost"], stage)
+        assert np.isfinite(float(metrics["total"]))
+
+    # second window reuses the bootstrap step (pending path)
+    batch2, _ = runner.collect(params, tiny_cfg.ppo.num_steps)
+    assert batch2["actions"].shape == (B, T)
+    pool.close()
+
+
+def test_online_trainer_short_run(tiny_cfg, tmp_path):
+    from safevla_tpu.training.online import OnlineTrainer
+
+    cfg = tiny_cfg
+    cfg.train.output_dir = str(tmp_path)
+    cfg.train.save_interval = 10_000_000
+    logs = []
+    trainer = OnlineTrainer(
+        cfg,
+        make_sampler_factory(max_steps=5),
+        num_workers=0,
+        log_fn=lambda m, s: logs.append((s, m)),
+    )
+    ts = trainer.train(
+        total_steps=2 * cfg.ppo.num_steps * cfg.train.num_train_processes
+    )
+    assert int(ts.step) >= 2 * cfg.ppo.num_steps * cfg.train.num_train_processes
+    assert len(logs) >= 2
+    assert "frames_per_second" in logs[0][1]
+    trainer.close()
+
+
+def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+    from safevla_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    policy = SafeVLAPolicy(tiny_cfg.model)
+    learner = Learner(policy, tiny_cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    path = save_checkpoint(str(tmp_path / "ckpts"), ts, 123)
+    assert latest_checkpoint(str(tmp_path / "ckpts")) == path
+    restored = restore_checkpoint(path, ts)
+    a = jax.tree.leaves(ts.tower_params)[0]
+    b = jax.tree.leaves(restored.tower_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
