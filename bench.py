@@ -30,6 +30,10 @@ def main():
     import jax
     import numpy as np
 
+    from safevla_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from safevla_tpu.config import Config
     from safevla_tpu.algo.learner import Learner
     from safevla_tpu.models.actor_critic import SafeVLAPolicy

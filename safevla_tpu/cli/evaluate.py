@@ -1,0 +1,118 @@
+"""Benchmark evaluation CLI.
+
+Replaces scripts/eval.sh + training/online/online_eval.py:
+
+    python -m safevla_tpu.cli.evaluate --ckpt path/to/ckpt \
+        --benchmark benchmark/objectnavtype_val.jsonl.gz \
+        eval.num_workers=8 eval.seed=123 [--fake-env]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--benchmark", required=True,
+                        help="benchmark episodes .jsonl.gz (or .json list)")
+    parser.add_argument("--task-type", default="ObjectNavType")
+    parser.add_argument("--houses-dir", default=None)
+    parser.add_argument("--fake-env", action="store_true")
+    parser.add_argument("--mode", default="greedy", choices=["greedy", "sample"])
+    parser.add_argument("--output", default=None, help="write results json here")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    from safevla_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from safevla_tpu.config import Config, apply_overrides
+    from safevla_tpu.constants import ALL_STRETCH_ACTIONS
+    from safevla_tpu.envs.sensors import default_train_sensors
+    from safevla_tpu.evaluation.agent import InferenceAgent
+    from safevla_tpu.evaluation.evaluator import BatchedEvaluator
+    from safevla_tpu.evaluation.types import (
+        MAX_EPISODE_LEN_PER_TASK,
+        load_benchmark_episodes,
+        normalized_eval_sample_to_task_spec,
+    )
+    from safevla_tpu.tasks import MultiTaskSampler, TaskSpecQueue
+
+    cfg = apply_overrides(Config(), args.overrides)
+    samples = load_benchmark_episodes(args.benchmark)
+    max_len = MAX_EPISODE_LEN_PER_TASK.get(args.task_type, 600)
+    h, w = cfg.model.image_size
+
+    if args.fake_env:
+        from safevla_tpu.envs.fake_controller import FakeController
+
+        controller_type, controller_args = FakeController, {
+            "seed": 0, "image_height": h, "image_width": w,
+        }
+        houses, house_inds = [{"rooms": [{}, {}]}], [0]
+    else:
+        from safevla_tpu.data.stores import LazyJsonHouses
+        from safevla_tpu.envs.thor_controller import StretchController, default_thor_env_args
+
+        assert args.houses_dir or cfg.objaverse_houses_dir
+        houses_store = LazyJsonHouses.from_dir(
+            args.houses_dir or cfg.objaverse_houses_dir, subset="val"
+        )
+        needed = sorted({int(s["house_index"]) for s in samples})
+        houses = [houses_store[i] for i in needed]
+        house_inds = needed
+        controller_type, controller_args = StretchController, default_thor_env_args()
+
+    def factory_builder(tasks_queue):
+        def factory(stream_id: int):
+            return MultiTaskSampler(
+                mode="val",
+                task_args=dict(
+                    sensors=default_train_sensors(rgb_height=h, rgb_width=w),
+                    max_steps=max_len,
+                    action_names=ALL_STRETCH_ACTIONS,
+                    reward_config=None,
+                ),
+                houses=houses,
+                house_inds=house_inds,
+                controller_args=controller_args,
+                controller_type=controller_type,
+                task_spec_sampler=TaskSpecQueue(
+                    tasks_queue, convert=normalized_eval_sample_to_task_spec, timeout=1.0
+                ),
+                seed=cfg.eval.seed,
+            )
+
+        return factory
+
+    agent = InferenceAgent.build(
+        cfg,
+        args.ckpt,
+        num_streams=cfg.eval.num_workers,
+        mode=args.mode,
+        seed=cfg.eval.seed,
+        test_augmentation=cfg.eval.test_augmentation,
+    )
+    evaluator = BatchedEvaluator(
+        cfg,
+        factory_builder,
+        num_streams=cfg.eval.num_workers,
+        num_workers=0 if args.fake_env else cfg.eval.num_workers,
+    )
+    results = evaluator.evaluate(agent, samples, args.task_type)
+
+    print(json.dumps(results["aggregate"], indent=2, default=float))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, default=float)
+        print(f"full results -> {args.output}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

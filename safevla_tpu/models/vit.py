@@ -37,6 +37,7 @@ class DinoViTConfig:
     img_height: int = 224
     img_width: int = 378  # after center width crop from 384
     layerscale: bool = True
+    use_cls_token: bool = True  # False for SigLIP-style patch-only trunks
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -128,23 +129,28 @@ class DinoViT(nn.Module):
         gh, gw = cfg.grid
         x = x.reshape(b, gh * gw, cfg.embed_dim)
 
-        cls_token = self.param(
-            "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.embed_dim)
-        )
-        # pos_embed is stored PRE-INTERPOLATED for (1 + gh*gw) tokens
+        n_prefix = 1 if cfg.use_cls_token else 0
+        # pos_embed is stored PRE-INTERPOLATED for (prefix + gh*gw) tokens
         pos_embed = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
-            (1, 1 + cfg.num_patches, cfg.embed_dim),
+            (1, n_prefix + cfg.num_patches, cfg.embed_dim),
         )
-        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, cfg.embed_dim)).astype(cfg.dtype), x], axis=1)
+        if cfg.use_cls_token:
+            cls_token = self.param(
+                "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.embed_dim)
+            )
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls_token, (b, 1, cfg.embed_dim)).astype(cfg.dtype), x],
+                axis=1,
+            )
         x = x + pos_embed.astype(cfg.dtype)
 
         for i in range(cfg.depth):
             x = ViTBlock(cfg, name=f"block_{i}")(x)
 
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
-        patches = x[:, 1:, :].astype(jnp.float32)  # (B, gh*gw, D)
+        patches = x[:, n_prefix:, :].astype(jnp.float32)  # (B, gh*gw, D)
 
         # adaptive average pool (gh, gw) -> pool_grid, as two static matmuls
         ph, pw = self.pool_grid
@@ -160,4 +166,10 @@ VIT_CONFIGS = {
     "dinov2_vits14": DinoViTConfig(embed_dim=384, depth=12, num_heads=6),
     "dinov2_vitb14": DinoViTConfig(embed_dim=768, depth=12, num_heads=12),
     "dinov2_vitl14": DinoViTConfig(embed_dim=1024, depth=24, num_heads=16),
+    # SigLIP ViT-B/16-256 trunk: patch-only, no layerscale, square input
+    # (reference architecture/allenact_preprocessors/siglip_preprocessors.py:18-33)
+    "siglip_vitb16_256": DinoViTConfig(
+        patch_size=16, embed_dim=768, depth=12, num_heads=12,
+        img_height=256, img_width=256, layerscale=False, use_cls_token=False,
+    ),
 }

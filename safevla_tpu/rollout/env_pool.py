@@ -86,19 +86,60 @@ class _InlineStream:
         )
 
 
-def _worker_main(conn, sampler_factory: Callable, stream_id: int):
+_FRAME_KEYS = ("rgb_raw", "manipulation_rgb_raw")
+
+
+def _detach_frames(step: "EnvStep", ring) -> "EnvStep":
+    """Move camera frames out of the pickled payload into the shm ring."""
+    if ring is None or step is None or step.obs is None:
+        return step
+    import numpy as np
+
+    obs = dict(step.obs)
+    meta = []
+    for key in _FRAME_KEYS:
+        if key in obs:
+            frame = np.ascontiguousarray(obs.pop(key))
+            ring.push(frame)
+            meta.append((key, frame.shape, str(frame.dtype)))
+    obs["__ring_frames__"] = meta
+    step.obs = obs
+    return step
+
+
+def _attach_frames(step: "EnvStep", ring) -> "EnvStep":
+    if ring is None or step is None or step.obs is None:
+        return step
+    import numpy as np
+
+    obs = dict(step.obs)
+    meta = obs.pop("__ring_frames__", [])
+    for key, shape, dtype in meta:
+        data, _ = ring.pop()
+        obs[key] = data.view(np.dtype(dtype)).reshape(shape)
+    step.obs = obs
+    return step
+
+
+def _worker_main(conn, sampler_factory: Callable, stream_id: int, shm_name=None,
+                 shm_slots: int = 8, shm_slot_bytes: int = 0):
     try:
+        ring = None
+        if shm_name is not None:
+            from safevla_tpu.native import ObsRing
+
+            ring = ObsRing(shm_name, shm_slots, shm_slot_bytes, create=False)
         stream = _InlineStream(sampler_factory, stream_id)
         first = stream.reset()
-        conn.send(("ready", first))
+        conn.send(("ready", _detach_frames(first, ring)))
         while True:
             msg = conn.recv()
             cmd = msg[0]
             if cmd == "step":
                 _, action, force_advance = msg
-                conn.send(("step", stream.step(action, force_advance)))
+                conn.send(("step", _detach_frames(stream.step(action, force_advance), ring)))
             elif cmd == "reset":
-                conn.send(("reset", stream.reset(force_advance=msg[1])))
+                conn.send(("reset", _detach_frames(stream.reset(force_advance=msg[1]), ring)))
             elif cmd == "close":
                 stream.sampler.close()
                 conn.send(("closed", None))
@@ -123,31 +164,54 @@ class EnvPool:
         num_streams: int,
         num_workers: Optional[int] = None,
         mp_context: str = "forkserver",
+        use_shm_frames: bool = False,
+        shm_slot_bytes: int = 2 * 1024 * 1024,
+        shm_slots: int = 8,
     ):
         self.num_streams = num_streams
         self.use_processes = (num_workers or 0) > 0
         self._streams: List[_InlineStream] = []
         self._conns = []
         self._procs = []
+        self._rings: List[Any] = []
         self._sampler_factory = sampler_factory
         self._mp_context = mp_context
         self.last_steps: List[Optional[EnvStep]] = [None] * num_streams
 
         if self.use_processes:
+            shm_names = [None] * num_streams
+            if use_shm_frames:
+                from safevla_tpu.native import ObsRing, native_available
+
+                if native_available():
+                    import os as _os
+
+                    shm_names = [
+                        f"/safevla_obs_{_os.getpid()}_{i}" for i in range(num_streams)
+                    ]
+                    # the pool side creates/owns the rings (consumer)
+                    self._rings = [
+                        ObsRing(n, shm_slots, shm_slot_bytes, create=True)
+                        for n in shm_names
+                    ]
             ctx = mp.get_context(mp_context)
             for i in range(num_streams):
                 parent, child = ctx.Pipe()
                 p = ctx.Process(
-                    target=_worker_main, args=(child, sampler_factory, i), daemon=True
+                    target=_worker_main,
+                    args=(child, sampler_factory, i, shm_names[i], shm_slots, shm_slot_bytes),
+                    daemon=True,
                 )
                 p.start()
                 self._conns.append(parent)
                 self._procs.append(p)
+            if not self._rings:
+                self._rings = [None] * num_streams
             for i, conn in enumerate(self._conns):
                 tag, first = conn.recv()
                 if tag == "crash":
                     raise RuntimeError(f"env worker {i} crashed at startup: {first[1]}")
-                self.last_steps[i] = first
+                self.last_steps[i] = _attach_frames(first, self._rings[i])
         else:
             for i in range(num_streams):
                 s = _InlineStream(sampler_factory, i)
@@ -170,7 +234,7 @@ class EnvPool:
                 tag, payload = conn.recv()
                 if tag == "crash":
                     raise RuntimeError(f"env worker {i} crashed: {payload[1]}")
-                out.append(payload)
+                out.append(_attach_frames(payload, self._rings[i] if self._rings else None))
         else:
             out = [
                 s.step(int(a), bool(f))
@@ -190,6 +254,9 @@ class EnvPool:
                 p.join(timeout=5)
                 if p.is_alive():
                     p.terminate()
+            for r in self._rings:
+                if r is not None:
+                    r.close()
         else:
             for s in self._streams:
                 s.sampler.close()

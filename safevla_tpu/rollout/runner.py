@@ -258,13 +258,17 @@ class RolloutRunner:
             ),
             "new_episode": new_episode,
         }
+        text_changed = False
         for i, s in enumerate(steps):
             if (s.new_episode or first) and s.instruction is not None:
                 if self.instructions[i] != s.instruction or first:
                     self.instructions[i] = s.instruction
-                if not first:
-                    self.cur_slot[i] = (self.cur_slot[i] + 1) % self.E
-        if new_episode.any() and hasattr(self, "_params_cache"):
+                    text_changed = True
+                    if not first:
+                        # a new instruction gets a fresh table slot; repeats
+                        # keep their slot (content identical, no re-encode)
+                        self.cur_slot[i] = (self.cur_slot[i] + 1) % self.E
+        if text_changed and hasattr(self, "_params_cache"):
             self._refresh_text()
         return cur
 

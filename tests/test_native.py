@@ -1,0 +1,88 @@
+"""Native shared-memory observation ring: C++ build + cross-process transport."""
+
+import multiprocessing as mp
+
+import numpy as np
+import pytest
+
+from safevla_tpu.native import ObsRing, build_native, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native obs_ring library unavailable"
+)
+
+
+def test_build_idempotent():
+    path = build_native()
+    assert path.endswith(".so")
+
+
+def _producer(name, n):
+    ring = ObsRing(name, 4, 1 << 20, create=False)
+    for i in range(n):
+        ring.push(np.full((64, 64, 3), i % 251, dtype=np.uint8), tag=i)
+    ring.close()
+
+
+def test_cross_process_roundtrip():
+    name = "/svtest_xproc"
+    ring = ObsRing(name, 4, 1 << 20, create=True)
+    p = mp.get_context("fork").Process(target=_producer, args=(name, 30))
+    p.start()
+    for i in range(30):
+        data, tag = ring.pop()
+        assert tag == i
+        assert data.reshape(64, 64, 3)[0, 0, 0] == i % 251
+    p.join()
+    ring.close()
+
+
+def test_pop_into_zero_copy():
+    name = "/svtest_popinto"
+    ring = ObsRing(name, 4, 1 << 20, create=True)
+    frame = np.arange(300, dtype=np.uint8)
+    ring.push(frame, tag=7)
+    out = np.zeros(300, np.uint8)
+    tag = ring.pop_into(out)
+    assert tag == 7
+    np.testing.assert_array_equal(out, frame)
+    ring.close()
+
+
+def test_oversized_payload_rejected():
+    name = "/svtest_oversize"
+    ring = ObsRing(name, 2, 1024, create=True)
+    with pytest.raises(ValueError):
+        ring.push(np.zeros(4096, np.uint8))
+    ring.close()
+
+
+def test_backpressure_timeout():
+    name = "/svtest_backpressure"
+    ring = ObsRing(name, 2, 1024, create=True)
+    ring.push(np.zeros(8, np.uint8))
+    ring.push(np.zeros(8, np.uint8))
+    with pytest.raises(TimeoutError):
+        ring.push(np.zeros(8, np.uint8), timeout_s=0.05)
+    ring.close()
+
+
+def test_env_pool_shm_transport():
+    """EnvPool with use_shm_frames: frames travel via shm, not the pipe."""
+    from safevla_tpu.rollout.env_pool import EnvPool
+    from tests.test_rollout_training import make_sampler_factory
+
+    pool = EnvPool(
+        make_sampler_factory(max_steps=6),
+        num_streams=2,
+        num_workers=2,
+        mp_context="fork",
+        use_shm_frames=True,
+        shm_slot_bytes=1 << 20,
+    )
+    first = pool.initial_steps()
+    assert first[0].obs["rgb_raw"].shape[2] == 3
+    out = pool.step([0, 1])
+    assert out[0].obs["rgb_raw"].dtype == np.uint8
+    assert "__ring_frames__" not in out[0].obs
+    pool.close()
