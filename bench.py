@@ -53,6 +53,7 @@ def main():
     cfg.train.num_train_processes = B
     cfg.ppo.num_steps = T
     cfg.train.max_steps = 500
+    cfg.model.fusion_chunk = int(os.environ.get("BENCH_FUSION_CHUNK", "1024"))
 
     # FakeController environments at the production camera resolution
     from tests.test_rollout_training import make_sampler_factory
@@ -78,6 +79,7 @@ def main():
     ts, _ = iteration(ts)
     warmup = time.time() - t0
     print(f"# warmup (compile) {warmup:.1f}s", file=sys.stderr)
+    runner.timer.reset()  # drop compile-polluted timings
 
     t0 = time.time()
     for _ in range(ITERS):
@@ -91,6 +93,8 @@ def main():
         f"{stats['frames_per_second']:.0f}",
         file=sys.stderr,
     )
+    timing = {k: round(v * 1000, 1) for k, v in stats.items() if k.startswith("time/")}
+    print(f"# per-step ms: {timing}", file=sys.stderr)
     pool.close()
 
     print(

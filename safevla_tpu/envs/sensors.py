@@ -97,7 +97,7 @@ class TaskNaturalLanguageSpecSensor(Sensor):
 
     def get_observation(self, env, task) -> np.ndarray:
         goal = task.task_info.get("natural_language_spec", "")
-        return convert_string_to_byte(goal, self.str_max_len)[0]
+        return convert_string_to_byte(goal, self.str_max_len)
 
 
 class AnObjectIsInHand(Sensor):
@@ -191,3 +191,123 @@ def default_train_sensors(
             AnObjectIsInHand(uuid="an_object_is_in_hand"),
         ]
     return sensors
+
+
+class TaskTemplatedTextSpecSensor(Sensor):
+    """JSON-templated task spec as fixed-width bytes
+    (reference navigation_sensors.py:102-141)."""
+
+    def __init__(self, uuid: str = "templated_task_spec", str_max_len: int = 2000):
+        super().__init__(uuid)
+        self.str_max_len = str_max_len
+
+    def get_observation(self, env, task) -> np.ndarray:
+        import json
+
+        from safevla_tpu.types import REGISTERED_TASK_PARAMS
+
+        info = task.task_info
+        keys = REGISTERED_TASK_PARAMS.get(info.get("task_type", ""), [])
+        subset = {k: info[k] for k in keys if k in info}
+        subset["task_type"] = info.get("task_type")
+        subset["extras"] = info.get("extras", {})
+        return convert_string_to_byte(json.dumps(subset, default=str), self.str_max_len)
+
+
+class LastActionIsRandomSensor(Sensor):
+    def __init__(self, uuid: str = "last_action_is_random"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return np.array([1 if task.last_action_random == True else 0], dtype=np.int64)  # noqa: E712
+
+
+class LastActionStrSensor(Sensor):
+    """Previous action's short code as bytes (reference l.726-742)."""
+
+    def __init__(self, uuid: str = "last_action_str", str_max_len: int = 20):
+        super().__init__(uuid)
+        self.str_max_len = str_max_len
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return convert_string_to_byte(task.last_taken_action_str, self.str_max_len)
+
+
+class HouseNumberSensor(Sensor):
+    def __init__(self, uuid: str = "house_index"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return np.array([int(task.task_info.get("house_index", -1))], dtype=np.int64)
+
+
+class MinL2TargetDistanceSensor(Sensor):
+    """Current L2 distance to the closest target (reference l.706-723)."""
+
+    def __init__(self, uuid: str = "minimum_l2_target_distance"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        fn = getattr(task, "dist_to_target_func", None)
+        return np.array([fn() if fn else -1.0], dtype=np.float64)
+
+
+class HypotheticalTaskSuccessSensor(Sensor):
+    """Would `done` succeed right now? (reference l.186-201)."""
+
+    def __init__(self, uuid: str = "hypothetical_task_success"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return np.array([task.successful_if_done()], dtype=np.int64)
+
+
+class RoomsSeenSensor(Sensor):
+    def __init__(self, uuid: str = "rooms_seen"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        return np.array([len(getattr(task, "seen_rooms", set()))], dtype=np.int64)
+
+
+class RoomCurrentSeenSensor(Sensor):
+    """Whether the current room has been seen before (reference l.793-808)."""
+
+    def __init__(self, uuid: str = "room_current_seen"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        room = task.get_current_room()
+        return np.array(
+            [room in getattr(task, "seen_rooms", set())], dtype=np.int64
+        )
+
+
+class CurrentAgentRoom(Sensor):
+    """Index of the room the agent currently occupies (reference l.811-830)."""
+
+    def __init__(self, uuid: str = "current_agent_room"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        room = task.get_current_room()
+        rooms = sorted(getattr(env, "room_poly_map", {}).keys())
+        return np.array(
+            [rooms.index(room) if room in rooms else -1], dtype=np.int64
+        )
+
+
+class Visible4mTargetCountSensor(Sensor):
+    """How many target instances are visible within 4m (reference l.239-264)."""
+
+    def __init__(self, uuid: str = "visible_target_4m_count"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        count = 0
+        info = task.task_info
+        for synset in info.get("synsets", []):
+            for oid in info.get("synset_to_object_ids", {}).get(synset, []):
+                if env.object_is_visible_in_camera(oid, which_camera="nav", maximum_distance=4):
+                    count += 1
+        return np.array([count], dtype=np.int64)

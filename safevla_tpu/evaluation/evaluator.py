@@ -60,14 +60,20 @@ class BatchedEvaluator:
         num_streams: Optional[int] = None,
         num_workers: int = 0,
         max_eval_tasks: Optional[int] = None,
+        video_dir: Optional[str] = None,
+        video_every: int = 0,
     ):
         """`sampler_factory_builder(tasks_queue) -> sampler_factory(stream_id)`
-        must build samplers whose task_spec_sampler drains `tasks_queue`."""
+        must build samplers whose task_spec_sampler drains `tasks_queue`.
+        `video_every=N` records every Nth episode of stream 0 as an annotated
+        video into `video_dir` (reference online_evaluator_worker.py:637-696)."""
         self.cfg = cfg
         self.num_streams = num_streams or cfg.eval.num_workers
         self.num_workers = num_workers
         self.sampler_factory_builder = sampler_factory_builder
         self.max_eval_tasks = max_eval_tasks or cfg.eval.max_eval_tasks
+        self.video_dir = video_dir
+        self.video_every = video_every if video_dir else 0
 
     # ------------------------------------------------------------------
     def evaluate(
@@ -101,6 +107,14 @@ class BatchedEvaluator:
         t0 = time.time()
         episode_steps = np.zeros(self.num_streams, np.int64)
 
+        recorder = None
+        episodes_on_stream0 = 0
+        if self.video_every:
+            from safevla_tpu.utils.video import EpisodeVideoRecorder
+
+            recorder = EpisodeVideoRecorder(self.video_dir)
+        from safevla_tpu.constants import ALL_STRETCH_ACTIONS
+
         while active.any():
             obs = [s.obs if s is not None and s.obs is not None else None for s in steps]
             # streams that are done keep replaying a zero frame (masked out)
@@ -131,6 +145,19 @@ class BatchedEvaluator:
             agent.reset_streams(new_episode)
             actions = agent.act(rgb_nav, rgb_manip, (~new_episode).astype(np.int32), oih)
 
+            if (
+                recorder is not None
+                and active[0]
+                and episodes_on_stream0 % self.video_every == 0
+                and obs[0] is not None
+            ):
+                recorder.add(
+                    rgb_nav[0],
+                    step=int(episode_steps[0]),
+                    action_name=ALL_STRETCH_ACTIONS[int(actions[0])],
+                    chosen=int(actions[0]),
+                )
+
             next_steps = pool.step([int(a) for a in actions])
             episode_steps += 1
             for i, s in enumerate(next_steps):
@@ -141,6 +168,15 @@ class BatchedEvaluator:
                     m["ep_steps_measured"] = int(episode_steps[i])
                     all_metrics.append(m)
                     episode_steps[i] = 0
+                    if i == 0 and recorder is not None:
+                        if episodes_on_stream0 % self.video_every == 0:
+                            sample_id = m.get("task_info", {}).get("eval_info", {}).get(
+                                "sample_id", f"ep{episodes_on_stream0}"
+                            )
+                            path = recorder.save(sample_id)
+                            if path:
+                                m["video_path"] = path
+                        episodes_on_stream0 += 1
                     if len(all_metrics) % progress_every == 0:
                         done_n = len(all_metrics)
                         rate = done_n / max(time.time() - t0, 1e-9)

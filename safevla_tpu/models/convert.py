@@ -272,9 +272,9 @@ def interpolate_pos_embed(
 def import_dinov2(sd: Dict[str, Any], depth: int = 12, grid=(16, 27)) -> Dict[str, Any]:
     """torch-hub dinov2_vits14 state dict -> safevla_tpu.models.vit params."""
     p: Dict[str, Any] = {}
-    # patch embed: torch conv (D, 3, 14, 14) -> flax conv (14, 14, 3, D)
-    w = _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0)
-    p["patch_embed"] = {"kernel": w, "bias": _t(sd["patch_embed.proj.bias"])}
+    # patch embed: torch conv (D, 3, P, P) -> (P, P, 3, D) matmul layout
+    p["patch_embed_kernel"] = _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0)
+    p["patch_embed_bias"] = _t(sd["patch_embed.proj.bias"])
     p["cls_token"] = _t(sd["cls_token"])
     pos = _t(sd["pos_embed"])
     n_src = pos.shape[1] - 1

@@ -41,11 +41,9 @@ class TorchMultiheadAttention(nn.Module):
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(jnp.float32(dh))
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
-        out = out.astype(self.dtype).reshape(b, t, d)
+        from safevla_tpu.ops.flash_attention import attention
+
+        out = attention(q, k, v).astype(self.dtype).reshape(b, t, d)
         out = nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
         return out
 

@@ -71,11 +71,9 @@ class ViTAttention(nn.Module):
         qkv = nn.Dense(3 * d, dtype=self.cfg.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(b, t, 3, h, dh), 3, axis=2)
         q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(jnp.float32(dh))
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.cfg.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
-        out = out.astype(self.cfg.dtype).reshape(b, t, d)
+        from safevla_tpu.ops.flash_attention import attention
+
+        out = attention(q, k, v).astype(self.cfg.dtype).reshape(b, t, d)
         return nn.Dense(d, dtype=self.cfg.dtype, name="proj")(out)
 
 
@@ -118,16 +116,25 @@ class DinoViT(nn.Module):
         if excess > 0:
             x = x[:, :, excess // 2 : excess // 2 + cfg.img_width, :]
         x = x.astype(cfg.dtype)
-        # patchify: conv 14x14 stride 14
-        x = nn.Conv(
-            cfg.embed_dim,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            dtype=cfg.dtype,
-            name="patch_embed",
-        )(x)
+        # patchify as reshape + matmul: a strided conv with 3 input channels
+        # wastes >95% of the MXU (channels pad to the 128-lane tile); patch
+        # extraction + one (P*P*3, D) matmul runs at full tile occupancy.
+        # Params keep the conv layout (P, P, 3, D) for checkpoint parity.
+        p = cfg.patch_size
         gh, gw = cfg.grid
-        x = x.reshape(b, gh * gw, cfg.embed_dim)
+        kernel = self.param(
+            "patch_embed_kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, 3, cfg.embed_dim),
+        )
+        bias = self.param("patch_embed_bias", nn.initializers.zeros, (cfg.embed_dim,))
+        x = x.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, p * p * 3)
+        w = kernel.reshape(p * p * 3, cfg.embed_dim).astype(cfg.dtype)
+        x = (
+            jnp.einsum("bnk,kd->bnd", x, w, preferred_element_type=jnp.float32)
+            + bias
+        ).astype(cfg.dtype)
 
         n_prefix = 1 if cfg.use_cls_token else 0
         # pos_embed is stored PRE-INTERPOLATED for (prefix + gh*gw) tokens

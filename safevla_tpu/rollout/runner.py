@@ -46,6 +46,7 @@ from safevla_tpu.preprocessing.augment import (
 )
 from safevla_tpu.preprocessing.tokenize import InstructionTokenizer
 from safevla_tpu.rollout.env_pool import EnvPool, EnvStep
+from safevla_tpu.utils.profiling import StageTimer
 
 # packed per-step int32 columns
 _PREV, _NOT_RESET, _OIH, _TSTEP, _TRAJ, _TEXT_SLOT, _NAV_ID, _MANIP_ID = range(8)
@@ -132,6 +133,7 @@ class RolloutRunner:
         self.steps_in_current_house = np.zeros(self.B, np.int64)
 
         self._pending = None  # bootstrap step reuse across windows
+        self.timer = StageTimer()
         self._jit_rollout_step = jax.jit(self._rollout_step, donate_argnums=(1, 2))
         self._jit_encode_text = jax.jit(self._encode_text)
 
@@ -340,23 +342,26 @@ class RolloutRunner:
                 action, v, cv, storage = self._restore_pending(pending, storage)
                 pending = None
             else:
-                action, v, cv, self.state, storage = self._jit_rollout_step(
-                    params,
-                    self.state,
-                    storage,
-                    self.frame_bank.bank,
-                    jnp.asarray(self._pack(t)),
-                    self._aug_params,
-                )
+                with self.timer.section("dispatch"):
+                    action, v, cv, self.state, storage = self._jit_rollout_step(
+                        params,
+                        self.state,
+                        storage,
+                        self.frame_bank.bank,
+                        jnp.asarray(self._pack(t)),
+                        self._aug_params,
+                    )
                 self._global_step += 1
 
-            actions_host = np.asarray(action)
+            with self.timer.section("action_fetch"):
+                actions_host = np.asarray(action)
 
             force = list(
                 self.steps_in_current_house
                 >= cfg.train.steps_in_house_before_force_scene_advance
             )
-            env_steps = self.pool.step([int(a) for a in actions_host], force)
+            with self.timer.section("env_step"):
+                env_steps = self.pool.step([int(a) for a in actions_host], force)
             self.steps_in_current_house += 1
 
             for i, s in enumerate(env_steps):
@@ -371,7 +376,8 @@ class RolloutRunner:
                     if s.new_episode:
                         self.steps_in_current_house[i] = 0
             self.prev_action = actions_host.copy()
-            self._cur = self._ingest(env_steps)
+            with self.timer.section("ingest"):
+                self._cur = self._ingest(env_steps)
 
         # bootstrap forward on the T-th observation: compute into a 1-slot
         # scratch storage and keep it for the next window's step 0
@@ -420,6 +426,7 @@ class RolloutRunner:
             "episodes_completed": len(self.episode_metrics),
             "frame_bank_hit_rate": self.frame_bank.hits
             / max(self.frame_bank.hits + self.frame_bank.misses, 1),
+            **self.timer.summary(),
         }
         return batch, stats
 

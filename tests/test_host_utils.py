@@ -163,3 +163,60 @@ def test_augment_deterministic_and_bounded():
     # identity params are a no-op
     y0 = apply_augment(x, identity_augment_params())
     np.testing.assert_allclose(np.asarray(y0), np.asarray(x), atol=1e-7)
+import numpy as np
+from safevla_tpu.envs.bbox_sensors import (
+    DetectorBBoxSensor, NullDetector, TaskRelevantObjectBBoxSensor,
+)
+from safevla_tpu.constants import EMPTY_BBOX
+
+
+class _SegEnv:
+    navigation_camera = np.zeros((32, 48, 3), np.uint8)
+
+    def get_segmentation_mask_of_object(self, oid, which_camera="nav"):
+        mask = np.zeros((32, 48), bool)
+        if oid == "Mug|1":
+            mask[10:20, 5:15] = True
+        return mask
+
+
+class _Task:
+    task_info = {
+        "synsets": ["mug.n.01"],
+        "synset_to_object_ids": {"mug.n.01": ["Mug|1", "Mug|2"]},
+    }
+
+
+def test_gt_bbox_sensor():
+    s = TaskRelevantObjectBBoxSensor()
+    box = s.get_observation(_SegEnv(), _Task())
+    assert box.shape == (10,)
+    x1, y1, x2, y2, area = box[:5]
+    assert (x1, y1, x2, y2) == (5, 10, 14, 19)
+    assert area == 100
+    assert list(box[5:]) == list(EMPTY_BBOX)
+
+
+def test_gt_bbox_sensor_empty_when_not_visible():
+    class T2:
+        task_info = {"synsets": ["vase.n.01"],
+                     "synset_to_object_ids": {"vase.n.01": ["Vase|9"]}}
+
+    box = TaskRelevantObjectBBoxSensor().get_observation(_SegEnv(), T2())
+    assert list(box[:5]) == list(EMPTY_BBOX)
+
+
+def test_detector_bbox_sensor_null():
+    s = DetectorBBoxSensor(NullDetector())
+    box = s.get_observation(_SegEnv(), _Task())
+    assert list(box[:5]) == list(EMPTY_BBOX)
+
+
+def test_detector_bbox_sensor_custom():
+    class Det:
+        def detect(self, image, vocab):
+            assert vocab == ["mug"]
+            return [(1, 2, 11, 22, 0.9), (0, 0, 2, 2, 0.9)]
+
+    box = DetectorBBoxSensor(Det()).get_observation(_SegEnv(), _Task())
+    assert list(box[:5]) == [1, 2, 11, 22, 200]
