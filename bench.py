@@ -53,7 +53,7 @@ def main():
     cfg.train.num_train_processes = B
     cfg.ppo.num_steps = T
     cfg.train.max_steps = 500
-    cfg.model.fusion_chunk = int(os.environ.get("BENCH_FUSION_CHUNK", "1024"))
+    cfg.model.fusion_chunk = int(os.environ.get("BENCH_FUSION_CHUNK", "512"))
 
     # FakeController environments at the production camera resolution
     from tests.test_rollout_training import make_sampler_factory

@@ -222,6 +222,34 @@ class EnvPool:
     def initial_steps(self) -> List[EnvStep]:
         return list(self.last_steps)
 
+    def step_slice(
+        self,
+        start: int,
+        stop: int,
+        actions: List[int],
+        force_advance: Optional[List[bool]] = None,
+    ) -> List[EnvStep]:
+        """Step only streams [start:stop) (used by pipelined rollout groups)."""
+        force_advance = force_advance or [False] * (stop - start)
+        if self.use_processes:
+            for i, (a, f) in enumerate(zip(actions, force_advance)):
+                self._conns[start + i].send(("step", int(a), bool(f)))
+            out = []
+            for i in range(start, stop):
+                tag, payload = self._conns[i].recv()
+                if tag == "crash":
+                    raise RuntimeError(f"env worker {i} crashed: {payload[1]}")
+                out.append(
+                    _attach_frames(payload, self._rings[i] if self._rings else None)
+                )
+        else:
+            out = [
+                self._streams[start + i].step(int(a), bool(f))
+                for i, (a, f) in enumerate(zip(actions, force_advance))
+            ]
+        self.last_steps[start:stop] = out
+        return out
+
     def step(
         self, actions: List[int], force_advance: Optional[List[bool]] = None
     ) -> List[EnvStep]:

@@ -6,19 +6,21 @@ SensorPreprocessorGraph on GPU + per-step `.to(device)` copies + mutable
 rollout storage; SURVEY §3.1 boundaries #5). The per-step host<->device
 traffic is engineered down to the minimum an on-policy loop permits:
 
-  * ONE jitted `rollout_step`: frame-bank gather -> normalize+augment ->
-    frozen DINOv2 (both cameras batched) -> 3-tower act with KV cache ->
-    action sampling (device-side PRNG) -> storage scatter at slot t. Policy
-    state and the rollout buffer are donated, so nothing round-trips.
-  * ONE small host->device upload per step (a packed int32 vector with
-    prev-action/reset/oih/time/traj/text-slot columns + frame-bank ids) and
-    ONE device->host fetch (the sampled actions). On latency-bound links
-    (the bench chip sits behind a tunnel with ~30ms RTT) this is the
-    difference between ~1 fps-per-stream and wire speed.
-  * Camera frames live in a device-resident bank with content-hash admission:
-    novel frames upload once (per-frame DMA), repeated frames (synthetic envs,
-    static cameras) are free. Real simulators mostly miss -> behave like the
-    plain path.
+  * ONE jitted `rollout_step` per stream-group: frame-bank gather ->
+    normalize+augment -> frozen DINOv2 (both cameras batched) -> 3-tower act
+    with KV cache -> action sampling (device-side PRNG) -> storage scatter at
+    (t, group-offset). Policy state and the rollout buffer are donated.
+  * ONE small host->device upload per group-step (a packed int32 vector) and
+    ONE device->host fetch (the sampled actions), issued as an async copy so
+    its ~latency hides behind host work.
+  * PIPELINED GROUPS: streams split into `overlap_groups` phase-shifted
+    halves — while the device computes group A's actions, the host steps
+    group B's simulators (the "double-buffered host->device pipeline" the
+    design calls for). On the bench link this roughly doubles rollout
+    throughput; on real hosts it hides the simulator behind the chip.
+  * Camera frames live in a content-addressed device bank: novel frames
+    upload once, repeated frames are free; real simulators mostly miss and
+    behave like a plain upload.
   * Instruction encodings are computed once per episode (the reference
     re-runs tokenizer+T5 every policy step) and cached in the policy state
     AND a per-stream episode table used by the update-time gather.
@@ -48,9 +50,10 @@ from safevla_tpu.preprocessing.tokenize import InstructionTokenizer
 from safevla_tpu.rollout.env_pool import EnvPool, EnvStep
 from safevla_tpu.utils.profiling import StageTimer
 
-# packed per-step int32 columns
+# packed per-stream int32 columns
 _PREV, _NOT_RESET, _OIH, _TSTEP, _TRAJ, _TEXT_SLOT, _NAV_ID, _MANIP_ID = range(8)
 _N_COLS = 8
+_N_META = 3  # (t, global_step, row_offset)
 
 
 class DeviceFrameBank:
@@ -101,6 +104,7 @@ class RolloutRunner:
         text_table_slots: int = 16,
         episode_cost_window: int = 100,
         frame_bank_slots: int = 96,
+        overlap_groups: int = 2,
     ):
         self.policy = policy
         self.cfg = cfg
@@ -110,6 +114,11 @@ class RolloutRunner:
             cfg.model.text_backbone, cfg.model.text_max_tokens
         )
         self.E = text_table_slots
+        if self.B % overlap_groups != 0:
+            overlap_groups = 1
+        self.n_groups = max(1, overlap_groups)
+        self.G = self.B // self.n_groups
+
         self.base_rng = jax.random.PRNGKey(seed)
         self._aug_key = jax.random.PRNGKey(seed + 1)
         self._aug_params = identity_augment_params()
@@ -120,9 +129,13 @@ class RolloutRunner:
 
         L = cfg.model.text_max_tokens
         D = cfg.model.text_embed_size
-        self.state = policy.init_state(self.B, L)
-        self.text_table = jnp.zeros((self.B, self.E, L, D), jnp.float32)
-        self.text_mask_table = jnp.zeros((self.B, self.E, L), bool)
+        self.states = [self.policy.init_state(self.G, L) for _ in range(self.n_groups)]
+        self.text_tables = [
+            jnp.zeros((self.G, self.E, L, D), jnp.float32) for _ in range(self.n_groups)
+        ]
+        self.text_mask_tables = [
+            jnp.zeros((self.G, self.E, L), bool) for _ in range(self.n_groups)
+        ]
         self.cur_slot = np.zeros(self.B, np.int32)
         self.instructions = [""] * self.B
 
@@ -132,21 +145,33 @@ class RolloutRunner:
         self.running_episode_cost = np.zeros(self.B, np.float64)
         self.steps_in_current_house = np.zeros(self.B, np.int64)
 
-        self._pending = None  # bootstrap step reuse across windows
+        self._pending: List[Optional[tuple]] = [None] * self.n_groups
         self.timer = StageTimer()
         self._jit_rollout_step = jax.jit(self._rollout_step, donate_argnums=(1, 2))
         self._jit_encode_text = jax.jit(self._encode_text)
 
-        def _splice(storage, scratch):
+        def _splice(storage, scratch, offset):
             for k in storage:
-                storage[k] = jax.lax.dynamic_update_index_in_dim(
-                    storage[k], scratch[k][0].astype(storage[k].dtype), 0, axis=0
+                val = scratch[k][0].astype(storage[k].dtype)
+                start = (0, offset) + (0,) * (storage[k].ndim - 2)
+                storage[k] = jax.lax.dynamic_update_slice(
+                    storage[k], val[None], start
                 )
             return storage
 
         self._jit_splice = jax.jit(_splice, donate_argnums=0)
 
-        self._cur = self._ingest(self.pool.initial_steps(), first=True)
+        self._cur: List[Dict[str, Any]] = [None] * self.n_groups
+        first_steps = self.pool.initial_steps()
+        for g in range(self.n_groups):
+            self._cur[g] = self._ingest(first_steps[self._lo(g) : self._hi(g)], g, first=True)
+
+    # ------------------------------------------------------------------
+    def _lo(self, g: int) -> int:
+        return g * self.G
+
+    def _hi(self, g: int) -> int:
+        return (g + 1) * self.G
 
     # ------------------------------------------------------------------
     # jitted device program
@@ -155,12 +180,13 @@ class RolloutRunner:
         return self.policy.encode_text(params, tokens, mask)
 
     def _rollout_step(self, params, state, storage, bank, packed, aug):
-        """packed: flat int32 [B * _N_COLS + 2]: per-stream columns, then
-        (t, global_step)."""
-        B = self.B
-        cols = packed[: B * _N_COLS].reshape(B, _N_COLS)
-        t = packed[B * _N_COLS]
-        gstep = packed[B * _N_COLS + 1]
+        """packed: flat int32 [G * _N_COLS + _N_META]: per-stream columns,
+        then (t, global_step, row_offset)."""
+        G = (packed.shape[0] - _N_META) // _N_COLS
+        cols = packed[: G * _N_COLS].reshape(G, _N_COLS)
+        t = packed[G * _N_COLS]
+        gstep = packed[G * _N_COLS + 1]
+        offset = packed[G * _N_COLS + 2]
 
         prev = cols[:, _PREV]
         not_reset = cols[:, _NOT_RESET]
@@ -175,14 +201,14 @@ class RolloutRunner:
         x01 = apply_augment(frames.astype(jnp.float32) / 255.0, aug)
         x = (x01 - jnp.asarray(DINO_RGB_MEANS)) / jnp.asarray(DINO_RGB_STDS)
         feats = self.policy.encode_images(params, x)
-        dino_nav, dino_manip = feats[:B], feats[B:]
+        dino_nav, dino_manip = feats[:G], feats[G:]
 
         logits, v, cv, new_state = self.policy.act_step(
             params, state, dino_nav, dino_manip, prev, not_reset, oih
         )
         rng = jax.random.fold_in(self.base_rng, gstep)
         action = jax.random.categorical(rng, logits)
-        logp = jax.nn.log_softmax(logits)[jnp.arange(B), action]
+        logp = jax.nn.log_softmax(logits)[jnp.arange(G), action]
 
         step_data = {
             "dino_nav": dino_nav,
@@ -199,16 +225,16 @@ class RolloutRunner:
             "text_idx": text_slot,
         }
         for k, val in step_data.items():
-            storage[k] = jax.lax.dynamic_update_index_in_dim(
-                storage[k], val.astype(storage[k].dtype), t, axis=0
-            )
+            val = val.astype(storage[k].dtype)[None]  # (1, G, ...)
+            start = (t, offset) + (0,) * (storage[k].ndim - 2)
+            storage[k] = jax.lax.dynamic_update_slice(storage[k], val, start)
         return action, v, cv, new_state, storage
 
     # ------------------------------------------------------------------
-    def _alloc_storage(self, T: int):
+    def _alloc_storage(self, T: int, width: Optional[int] = None):
         gh, gw = self.cfg.model.vision_grid
         Dv = self.cfg.model.vision_feature_dim
-        B = self.B
+        B = width or self.B
         f32, i32 = jnp.float32, jnp.int32
         return {
             "dino_nav": jnp.zeros((T, B, gh, gw, Dv), jnp.bfloat16),
@@ -225,9 +251,11 @@ class RolloutRunner:
             "text_idx": jnp.zeros((T, B), i32),
         }
 
-    def _ingest(self, steps: List[EnvStep], first: bool = False) -> Dict[str, Any]:
+    def _ingest(self, steps: List[EnvStep], g: int, first: bool = False) -> Dict[str, Any]:
+        """Convert one group's EnvSteps into host arrays + bookkeeping."""
         obs = [s.obs for s in steps]
         new_episode = np.array([bool(s.new_episode) or first for s in steps], bool)
+        lo = self._lo(g)
 
         if self.frame_bank is None:
             shape = obs[0]["rgb_raw"].shape
@@ -262,62 +290,130 @@ class RolloutRunner:
         }
         text_changed = False
         for i, s in enumerate(steps):
+            bi = lo + i
             if (s.new_episode or first) and s.instruction is not None:
-                if self.instructions[i] != s.instruction or first:
-                    self.instructions[i] = s.instruction
+                if self.instructions[bi] != s.instruction or first:
+                    self.instructions[bi] = s.instruction
                     text_changed = True
                     if not first:
-                        # a new instruction gets a fresh table slot; repeats
-                        # keep their slot (content identical, no re-encode)
-                        self.cur_slot[i] = (self.cur_slot[i] + 1) % self.E
+                        # new instruction -> fresh table slot; repeats keep
+                        # their slot (content identical, no re-encode)
+                        self.cur_slot[bi] = (self.cur_slot[bi] + 1) % self.E
         if text_changed and hasattr(self, "_params_cache"):
-            self._refresh_text()
+            self._refresh_text(g)
         return cur
 
-    def _refresh_text(self):
-        """(Re-)encode all current instructions; install into policy state and
-        the per-stream episode table. Full-batch encode keeps shapes static."""
-        tokens, mask = self.tokenizer.encode_batch(self.instructions)
+    def _refresh_text(self, g: int):
+        """(Re-)encode group g's instructions; install into its policy state
+        and episode table. Full-group encode keeps shapes static."""
+        lo, hi = self._lo(g), self._hi(g)
+        tokens, mask = self.tokenizer.encode_batch(self.instructions[lo:hi])
         hidden = self._jit_encode_text(
             self._params_cache, jnp.asarray(tokens), jnp.asarray(mask)
         )
         mask_j = jnp.asarray(mask)
-        self.state = PolicyState(
-            cache=self.state.cache,
-            pos=self.state.pos,
-            time_step=self.state.time_step,
+        st = self.states[g]
+        self.states[g] = PolicyState(
+            cache=st.cache,
+            pos=st.pos,
+            time_step=st.time_step,
             text_hidden=hidden,
             text_mask=mask_j,
         )
-        slots = jnp.asarray(self.cur_slot)
-        b_idx = jnp.arange(self.B)
-        self.text_table = self.text_table.at[b_idx, slots].set(hidden)
-        self.text_mask_table = self.text_mask_table.at[b_idx, slots].set(mask_j)
+        slots = jnp.asarray(self.cur_slot[lo:hi])
+        r_idx = jnp.arange(self.G)
+        self.text_tables[g] = self.text_tables[g].at[r_idx, slots].set(hidden)
+        self.text_mask_tables[g] = self.text_mask_tables[g].at[r_idx, slots].set(mask_j)
 
-    def _pack(self, t: int) -> np.ndarray:
-        cur = self._cur
-        packed = np.empty(self.B * _N_COLS + 2, np.int32)
-        cols = packed[: self.B * _N_COLS].reshape(self.B, _N_COLS)
-        cols[:, _PREV] = self.prev_action
+    def _pack(self, g: int, t: int) -> np.ndarray:
+        cur = self._cur[g]
+        lo, hi = self._lo(g), self._hi(g)
+        packed = np.empty(self.G * _N_COLS + _N_META, np.int32)
+        cols = packed[: self.G * _N_COLS].reshape(self.G, _N_COLS)
+        cols[:, _PREV] = self.prev_action[lo:hi]
         cols[:, _NOT_RESET] = (~cur["new_episode"]).astype(np.int32)
         cols[:, _OIH] = cur["oih"]
         cols[:, _TSTEP] = cur["time_step"]
         cols[:, _TRAJ] = cur["traj_idx"]
-        cols[:, _TEXT_SLOT] = self.cur_slot
+        cols[:, _TEXT_SLOT] = self.cur_slot[lo:hi]
         cols[:, _NAV_ID] = cur["nav_ids"]
         cols[:, _MANIP_ID] = cur["manip_ids"]
-        packed[self.B * _N_COLS] = t
-        packed[self.B * _N_COLS + 1] = self._global_step
+        packed[self.G * _N_COLS] = t
+        packed[self.G * _N_COLS + 1] = self._global_step
+        packed[self.G * _N_COLS + 2] = lo
         return packed
 
     # ------------------------------------------------------------------
+    def _dispatch(self, g: int, t: int, storage):
+        """Launch group g's device step; returns (future tuple, storage)."""
+        if self.cfg.train.use_data_augmentation:
+            # resample cadence matches the reference's per-batch counting:
+            # one batch == one step across all groups
+            if self._aug_steps % (self.cfg.train.max_steps * self.n_groups) == 0:
+                self._aug_key, sub = jax.random.split(self._aug_key)
+                self._aug_params = sample_augment_params(sub)
+            self._aug_steps += 1
+        with self.timer.section("dispatch"):
+            action, v, cv, self.states[g], storage = self._jit_rollout_step(
+                self._params_cache,
+                self.states[g],
+                storage,
+                self.frame_bank.bank,
+                jnp.asarray(self._pack(g, t)),
+                self._aug_params,
+            )
+            try:
+                action.copy_to_host_async()
+            except Exception:
+                pass
+        self._global_step += 1
+        return (action, v, cv), storage
+
+    def _env_step_group(
+        self, g: int, t: int, actions_host: np.ndarray, rewards, costs
+    ):
+        lo, hi = self._lo(g), self._hi(g)
+        cfg = self.cfg
+        force = list(
+            self.steps_in_current_house[lo:hi]
+            >= cfg.train.steps_in_house_before_force_scene_advance
+        )
+        with self.timer.section("env_step"):
+            env_steps = self.pool.step_slice(
+                lo, hi, [int(a) for a in actions_host], force
+            )
+        self.steps_in_current_house[lo:hi] += 1
+        for i, s in enumerate(env_steps):
+            bi = lo + i
+            rewards[t, bi] = s.reward
+            costs[t, bi] = s.cost
+            self.running_episode_cost[bi] += s.cost
+            if s.done:
+                self.episode_costs.append(self.running_episode_cost[bi])
+                self.running_episode_cost[bi] = 0.0
+                if s.metrics:
+                    self.episode_metrics.append(s.metrics)
+                if s.new_episode:
+                    self.steps_in_current_house[bi] = 0
+        self.prev_action[lo:hi] = actions_host
+        with self.timer.section("ingest"):
+            self._cur[g] = self._ingest(env_steps, g)
+
+    # ------------------------------------------------------------------
     def collect(self, params, num_steps: int):
-        """Collect a rollout window; returns (learner batch, stats)."""
+        """Collect a rollout window; returns (learner batch, stats).
+
+        Software-pipelined over stream groups: at the top of each time step
+        every group has an in-flight device step; draining group g's actions
+        and stepping its simulators overlaps the other groups' device work,
+        and g's next dispatch overlaps the remaining groups' env stepping.
+        """
         T = num_steps
         cfg = self.cfg
         self._params_cache = params
         if not getattr(self, "_text_initialized", False):
-            self._refresh_text()
+            for g in range(self.n_groups):
+                self._refresh_text(g)
             self._text_initialized = True
 
         storage = self._alloc_storage(T)
@@ -326,82 +422,68 @@ class RolloutRunner:
         masks = np.ones((T + 1, self.B), np.float32)
         wall_t0 = time.time()
 
-        pending = self._pending
-        self._pending = None
-        for t in range(T):
-            if cfg.train.use_data_augmentation:
-                if self._aug_steps % cfg.train.max_steps == 0:
-                    self._aug_key, sub = jax.random.split(self._aug_key)
-                    self._aug_params = sample_augment_params(sub)
-                self._aug_steps += 1
-
-            masks[t] = (~self._cur["new_episode"]).astype(np.float32)
-            if pending is not None:
-                # bootstrap from the previous window becomes step 0; re-store
-                # its data at slot 0 of the fresh storage
-                action, v, cv, storage = self._restore_pending(pending, storage)
-                pending = None
+        # prime: every group gets an in-flight device step for t=0
+        inflight: List[Optional[tuple]] = [None] * self.n_groups
+        for g in range(self.n_groups):
+            masks[0, self._lo(g) : self._hi(g)] = (
+                ~self._cur[g]["new_episode"]
+            ).astype(np.float32)
+            if self._pending[g] is not None:
+                action, v, cv, scratch = self._pending[g]
+                storage = self._jit_splice(storage, scratch, self._lo(g))
+                inflight[g] = (action, v, cv)
+                self._pending[g] = None
             else:
-                with self.timer.section("dispatch"):
-                    action, v, cv, self.state, storage = self._jit_rollout_step(
-                        params,
-                        self.state,
-                        storage,
-                        self.frame_bank.bank,
-                        jnp.asarray(self._pack(t)),
-                        self._aug_params,
-                    )
-                self._global_step += 1
+                inflight[g], storage = self._dispatch(g, 0, storage)
 
-            with self.timer.section("action_fetch"):
-                actions_host = np.asarray(action)
+        for t in range(T):
+            for g in range(self.n_groups):
+                action, v, cv = inflight[g]
+                with self.timer.section("action_fetch"):
+                    actions_host = np.asarray(action)
+                self._env_step_group(g, t, actions_host, rewards, costs)
+                if t + 1 < T:
+                    masks[t + 1, self._lo(g) : self._hi(g)] = (
+                        ~self._cur[g]["new_episode"]
+                    ).astype(np.float32)
+                    inflight[g], storage = self._dispatch(g, t + 1, storage)
+                else:
+                    inflight[g] = None
 
-            force = list(
-                self.steps_in_current_house
-                >= cfg.train.steps_in_house_before_force_scene_advance
-            )
-            with self.timer.section("env_step"):
-                env_steps = self.pool.step([int(a) for a in actions_host], force)
-            self.steps_in_current_house += 1
-
-            for i, s in enumerate(env_steps):
-                rewards[t, i] = s.reward
-                costs[t, i] = s.cost
-                self.running_episode_cost[i] += s.cost
-                if s.done:
-                    self.episode_costs.append(self.running_episode_cost[i])
-                    self.running_episode_cost[i] = 0.0
-                    if s.metrics:
-                        self.episode_metrics.append(s.metrics)
-                    if s.new_episode:
-                        self.steps_in_current_house[i] = 0
-            self.prev_action = actions_host.copy()
-            with self.timer.section("ingest"):
-                self._cur = self._ingest(env_steps)
-
-        # bootstrap forward on the T-th observation: compute into a 1-slot
-        # scratch storage and keep it for the next window's step 0
-        scratch = self._alloc_storage(1)
-        action, v, cv, self.state, scratch = self._jit_rollout_step(
-            params,
-            self.state,
-            scratch,
-            self.frame_bank.bank,
-            jnp.asarray(self._pack(0)),
-            self._aug_params,
-        )
-        self._global_step += 1
-        self._pending = (action, v, cv, scratch)
-        masks[T] = (~self._cur["new_episode"]).astype(np.float32)
+        # bootstrap forward on the T-th observation per group; its result is
+        # reused as next window's step 0
+        boot_v, boot_cv = [], []
+        for g in range(self.n_groups):
+            masks[T, self._lo(g) : self._hi(g)] = (
+                ~self._cur[g]["new_episode"]
+            ).astype(np.float32)
+            scratch = self._alloc_storage(1, width=self.G)
+            pk = self._pack(g, 0)
+            pk[self.G * _N_COLS + 2] = 0  # scratch row offset
+            with self.timer.section("dispatch"):
+                action, v, cv, self.states[g], scratch = self._jit_rollout_step(
+                    self._params_cache,
+                    self.states[g],
+                    scratch,
+                    self.frame_bank.bank,
+                    jnp.asarray(pk),
+                    self._aug_params,
+                )
+            self._global_step += 1
+            self._pending[g] = (action, v, cv, scratch)
+            boot_v.append(v)
+            boot_cv.append(cv)
 
         wall = time.time() - wall_t0
 
         tr = lambda x: jnp.swapaxes(x, 0, 1)
+        v_boot = jnp.concatenate(boot_v)[:, None]
+        cv_boot = jnp.concatenate(boot_cv)[:, None]
         batch = {
             "dino_nav": tr(storage["dino_nav"]),
             "dino_manip": tr(storage["dino_manip"]),
-            "text_hidden": self.text_table,
-            "text_mask": self.text_mask_table,
+            "text_hidden": jnp.concatenate(self.text_tables, axis=0),
+            "text_mask": jnp.concatenate(self.text_mask_tables, axis=0),
             "text_idx": tr(storage["text_idx"]),
             "prev_actions": tr(storage["prev_actions"]),
             "not_reset": tr(storage["not_reset"]),
@@ -412,8 +494,8 @@ class RolloutRunner:
             "old_log_probs": tr(storage["old_log_probs"]),
             "rewards": jnp.asarray(rewards).T,
             "costs": jnp.asarray(costs).T,
-            "values": jnp.concatenate([tr(storage["values"]), v[:, None]], axis=1),
-            "c_values": jnp.concatenate([tr(storage["c_values"]), cv[:, None]], axis=1),
+            "values": jnp.concatenate([tr(storage["values"]), v_boot], axis=1),
+            "c_values": jnp.concatenate([tr(storage["c_values"]), cv_boot], axis=1),
             "masks": jnp.asarray(masks).T,
         }
         stats = {
@@ -429,10 +511,6 @@ class RolloutRunner:
             **self.timer.summary(),
         }
         return batch, stats
-
-    def _restore_pending(self, pending, storage):
-        action, v, cv, scratch = pending
-        return action, v, cv, self._jit_splice(storage, scratch)
 
     def pop_metrics(self) -> List[Dict[str, Any]]:
         out = self.episode_metrics

@@ -156,3 +156,39 @@ def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
     a = jax.tree.leaves(ts.tower_params)[0]
     b = jax.tree.leaves(restored.tower_params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipelined_groups_collect(tiny_cfg):
+    """overlap_groups=2: phase-split rollout produces a consistent batch."""
+    import jax
+
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+    from safevla_tpu.rollout.env_pool import EnvPool
+    from safevla_tpu.rollout.runner import RolloutRunner
+
+    policy = SafeVLAPolicy(tiny_cfg.model)
+    learner = Learner(policy, tiny_cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    B, T = 4, 10
+    pool = EnvPool(make_sampler_factory(max_steps=4), num_streams=B, num_workers=0)
+    runner = RolloutRunner(policy, tiny_cfg, pool, seed=0, overlap_groups=2)
+    assert runner.n_groups == 2
+    params = {"towers": ts.tower_params, **ts.frozen_params}
+
+    batch, stats = runner.collect(params, T)
+    assert batch["dino_nav"].shape[:2] == (B, T)
+    assert batch["values"].shape == (B, T + 1)
+    # 4-step episodes guarantee resets inside the window for every stream
+    assert float(batch["masks"][:, 1:].min()) == 0.0
+    # features are real (both groups wrote their storage rows)
+    import numpy as np
+
+    nav = np.asarray(batch["dino_nav"], np.float32)
+    assert (np.abs(nav).sum(axis=(1, 2, 3, 4)) > 0).all()
+    ts, metrics = learner.update(ts, batch, stats["mean_episode_cost"], 1)
+    assert np.isfinite(float(metrics["total"]))
+    # window boundary: pending reuse works for both groups
+    batch2, _ = runner.collect(params, T)
+    assert batch2["actions"].shape == (B, T)
+    pool.close()
