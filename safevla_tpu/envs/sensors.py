@@ -311,3 +311,25 @@ class Visible4mTargetCountSensor(Sensor):
                 if env.object_is_visible_in_camera(oid, which_camera="nav", maximum_distance=4):
                     count += 1
         return np.array([count], dtype=np.int64)
+
+
+class NumPixelsVisible(Sensor):
+    """Pixel count of the target's segmentation mask
+    (reference navigation_sensors.py:833-870)."""
+
+    def __init__(self, uuid: str = "num_pixels_visible", which_camera: str = "nav"):
+        super().__init__(uuid)
+        self.which_camera = which_camera
+
+    def get_observation(self, env, task) -> np.ndarray:
+        total = 0
+        get_mask = getattr(env, "get_segmentation_mask_of_object", None)
+        if get_mask is not None:
+            info = task.task_info
+            for synset in info.get("synsets", []):
+                for oid in info.get("synset_to_object_ids", {}).get(synset, []):
+                    try:
+                        total += int(get_mask(oid, which_camera=self.which_camera).sum())
+                    except Exception:
+                        pass
+        return np.array([total], dtype=np.int64)

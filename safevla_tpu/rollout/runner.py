@@ -130,8 +130,10 @@ class RolloutRunner:
         L = cfg.model.text_max_tokens
         D = cfg.model.text_embed_size
         self.states = [self.policy.init_state(self.G, L) for _ in range(self.n_groups)]
+        # bf16 tables: the fusion adapter consumes bf16 anyway, and the
+        # update-time per-step gather halves its HBM traffic
         self.text_tables = [
-            jnp.zeros((self.G, self.E, L, D), jnp.float32) for _ in range(self.n_groups)
+            jnp.zeros((self.G, self.E, L, D), jnp.bfloat16) for _ in range(self.n_groups)
         ]
         self.text_mask_tables = [
             jnp.zeros((self.G, self.E, L), bool) for _ in range(self.n_groups)
@@ -322,7 +324,9 @@ class RolloutRunner:
         )
         slots = jnp.asarray(self.cur_slot[lo:hi])
         r_idx = jnp.arange(self.G)
-        self.text_tables[g] = self.text_tables[g].at[r_idx, slots].set(hidden)
+        self.text_tables[g] = self.text_tables[g].at[r_idx, slots].set(
+            hidden.astype(jnp.bfloat16)
+        )
         self.text_mask_tables[g] = self.text_mask_tables[g].at[r_idx, slots].set(mask_j)
 
     def _pack(self, g: int, t: int) -> np.ndarray:

@@ -215,6 +215,32 @@ class PickupType(Fetch):
 
 
 @register_task_specific_params
+class BPEObjectNavType(ObjectNav):
+    pass
+
+
+@register_task_specific_params
+class BPEObjectNavMulti(ObjectNav):
+    pass
+
+
+@register_task_specific_params
+class GoToPoint(TypedDict):
+    location_type: str
+    goal_in_camera_2d_first_step: Tuple[float, float]
+    goal_in_world_3d: Dict[str, float]
+
+
+@register_task_specific_params
+class GoNearPoint(TypedDict):
+    location_type: str
+    target_obj_in_3d: Dict[str, float]
+    possible_points_on_target_in_first_frame: List[Tuple[float, float]]
+    object_type: str
+    object_id: str
+
+
+@register_task_specific_params
 class RoomNav(TypedDict):
     room_types: List[str]
     room_ids: Dict[str, List[str]]
