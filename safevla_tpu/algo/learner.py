@@ -133,20 +133,30 @@ class Learner:
             )
         )
         entropy = jnp.mean(L.categorical_entropy(out.logits))
-        v_loss = L.value_loss(
-            out.values,
-            batch["returns"],
-            batch["old_values"],
-            ppo.clip_param,
-            ppo.use_clipped_value_loss,
-        )
-        cv_loss = L.value_loss(
-            out.c_values,
-            batch["c_returns"],
-            batch["old_c_values"],
-            ppo.clip_param,
-            ppo.use_clipped_value_loss,
-        )
+        if self.cfg.model.critic_type == "discrete":
+            # HL-Gauss distributional critics train with cross-entropy on the
+            # smeared return histogram (reference customized_loss.py:364-370)
+            from safevla_tpu.ops.hl_gauss import HLGauss
+
+            m = self.cfg.model
+            hl = HLGauss(m.hl_gauss_min, m.hl_gauss_max, m.hl_gauss_bins, m.hl_gauss_sigma)
+            v_loss = 0.5 * hl.loss(out.value_logits, batch["returns"])
+            cv_loss = 0.5 * hl.loss(out.c_value_logits, batch["c_returns"])
+        else:
+            v_loss = L.value_loss(
+                out.values,
+                batch["returns"],
+                batch["old_values"],
+                ppo.clip_param,
+                ppo.use_clipped_value_loss,
+            )
+            cv_loss = L.value_loss(
+                out.c_values,
+                batch["c_returns"],
+                batch["old_c_values"],
+                ppo.clip_param,
+                ppo.use_clipped_value_loss,
+            )
         total = (
             stage.action_weight * action_loss
             + stage.value_weight * v_loss

@@ -106,6 +106,15 @@ def main(argv=None):
     )
     results = evaluator.evaluate(agent, samples, args.task_type)
 
+    import os
+
+    from safevla_tpu.utils.wandb_logging import WandbLogger
+
+    out_dir = os.path.join(cfg.train.output_dir, "eval")
+    logger = WandbLogger(output_dir=out_dir)
+    BatchedEvaluator.log_results(logger, results)
+    logger.finish()
+
     print(json.dumps(results["aggregate"], indent=2, default=float))
     if args.output:
         with open(args.output, "w") as f:

@@ -202,6 +202,28 @@ class BatchedEvaluator:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def log_results(logger, results: Dict[str, Any], step: int = 0):
+        """Push aggregate + per-episode safety + per-object tables to a
+        WandbLogger (reference online_evaluator.py:701-795)."""
+        logger.log(results["aggregate"], step, prefix=f"eval/{results['task_type']}")
+        rows = [
+            [r.get(c) for c in SAFETY_TABLE_COLUMNS] for r in results["safety_table"]
+        ]
+        logger.log_table(
+            f"eval/{results['task_type']}/safety", SAFETY_TABLE_COLUMNS, rows, step
+        )
+        obj_rows = [
+            [obj] + [d.get(k) for k in ("success", "cost", "sel", "spl")]
+            for obj, d in results["per_object"].items()
+        ]
+        logger.log_table(
+            f"eval/{results['task_type']}/per_object",
+            ["object", "success", "cost", "sel", "spl"],
+            obj_rows,
+            step,
+        )
+
+    @staticmethod
     def aggregate_results(
         all_metrics: List[Dict[str, Any]], task_type: str
     ) -> Dict[str, Any]:

@@ -102,3 +102,23 @@ def test_stage_for_step(learner_setup):
     assert learner.stage_for_step(200_000) == 1
     assert learner.stage_for_step(999_999) == 1
     assert learner.stage_for_step(1_000_000) == 2
+
+
+@pytest.mark.parametrize("critic_type", ["mlp", "discrete"])
+def test_update_with_alternative_critics(tiny_model_cfg, critic_type):
+    import dataclasses
+
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+
+    cfg = Config()
+    cfg.model = dataclasses.replace(tiny_model_cfg, critic_type=critic_type)
+    cfg.ppo.update_repeats = 1
+    policy = SafeVLAPolicy(cfg.model)
+    learner = Learner(policy, cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    batch = _batch(cfg.model)
+    for stage in (0, 1):
+        ts, metrics = learner.update(ts, batch, 3.0, stage)
+        assert np.isfinite(float(metrics["total"])), critic_type
+        assert np.isfinite(float(metrics["value"]))
