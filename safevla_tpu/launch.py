@@ -42,7 +42,7 @@ def partition_specs_by_house(specs) -> Dict[int, List[dict]]:
 
 def make_thor_sampler_factory(
     cfg: Config,
-    task_spec_dataset_dir: str,
+    task_spec_dataset_dir,
     houses_dir: Optional[str] = None,
     mode: str = "train",
     max_houses: Optional[int] = None,
@@ -51,22 +51,31 @@ def make_thor_sampler_factory(
 
     Each stream loads its round-robin shard of the task specs (reference
     base.py:284-320 partitions Hdf5TaskSpecs by proc id) and drives its own
-    simulator process.
+    simulator process. `task_spec_dataset_dir` may be a single dataset dir, a
+    list of dirs, or a named mixture (safevla_tpu.data.mixtures) resolved
+    under a root dir as `<root>/<TaskType>` — mixed task types interleave in
+    each stream's per-house spec pool (multi-task constrained RL).
     """
     houses_dir = houses_dir or cfg.objaverse_houses_dir
     num_streams = cfg.train.num_train_processes
+
+    if isinstance(task_spec_dataset_dir, str):
+        dataset_dirs = [task_spec_dataset_dir]
+    else:
+        dataset_dirs = list(task_spec_dataset_dir)
 
     def factory(stream_id: int):
         from safevla_tpu.envs.thor_controller import StretchController, default_thor_env_args
 
         houses = LazyJsonHouses.from_dir(houses_dir, subset=mode, max_lines=max_houses)
-        specs = Hdf5TaskSpecs.from_dataset_dir(
-            task_spec_dataset_dir,
-            subset=mode,
-            proc_id=stream_id,
-            total_procs=num_streams,
-        )
-        by_house = partition_specs_by_house(specs)
+        all_specs: List[dict] = []
+        for d in dataset_dirs:
+            all_specs.extend(
+                Hdf5TaskSpecs.from_dataset_dir(
+                    d, subset=mode, proc_id=stream_id, total_procs=num_streams
+                )
+            )
+        by_house = partition_specs_by_house(all_specs)
         house_inds = sorted(by_house.keys())
         return MultiTaskSampler(
             mode=mode,
