@@ -62,8 +62,23 @@ class OfflineTrainer:
         self.tx = optax.adamw(cfg.offline.lr)
         self.mesh = mesh
         self._aug_key = jax.random.PRNGKey(7)
-        self._jit_step = jax.jit(self._bc_step, donate_argnums=0)
-        self._jit_eval = jax.jit(self._eval_step)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("dp"))
+            self._jit_step = jax.jit(
+                self._bc_step,
+                donate_argnums=0,
+                in_shardings=(repl, data, repl),
+                out_shardings=(repl, repl),
+            )
+            self._jit_eval = jax.jit(
+                self._eval_step, in_shardings=(repl, data), out_shardings=data
+            )
+        else:
+            self._jit_step = jax.jit(self._bc_step, donate_argnums=0)
+            self._jit_eval = jax.jit(self._eval_step)
         self._jit_encode_text = jax.jit(
             lambda p, t, m: self.policy.encode_text(p, t, m)
         )

@@ -1,0 +1,92 @@
+"""Mesh sharding: the learner update over the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safevla_tpu.config import Config
+from safevla_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_learner_update_sharded_over_dp(tiny_model_cfg):
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+    from tests.test_learner import _batch
+
+    mesh = make_mesh(dp=8, mdl=1)
+    cfg = Config()
+    cfg.model = tiny_model_cfg
+    cfg.ppo.update_repeats = 1
+    policy = SafeVLAPolicy(cfg.model)
+    learner = Learner(policy, cfg, mesh=mesh)
+    ts = learner.init(jax.random.PRNGKey(0))
+
+    batch = _batch(cfg.model, B=16, T=6)
+    batch = shard_batch(mesh, batch)
+    # batch really is split across devices
+    assert len(batch["dino_nav"].sharding.device_set) == 8
+
+    ts2, metrics = learner.update(ts, batch, 3.0, 1)
+    assert np.isfinite(float(metrics["total"]))
+    # params stay replicated
+    leaf = jax.tree.leaves(ts2.tower_params)[0]
+    assert len(leaf.sharding.device_set) in (1, 8)
+
+    # sharded result equals the single-device result
+    learner_single = Learner(SafeVLAPolicy(cfg.model), cfg)
+    host_batch = jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), jax.devices()[0]), batch
+    )
+    ts3, metrics_single = learner_single.update(ts, host_batch, 3.0, 1)
+    np.testing.assert_allclose(
+        float(metrics["total"]), float(metrics_single["total"]), rtol=2e-4
+    )
+    a = np.asarray(jax.tree.leaves(ts2.tower_params)[0])
+    b = np.asarray(jax.tree.leaves(ts3.tower_params)[0])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_helpers():
+    mesh = make_mesh(dp=4, mdl=2)
+    assert mesh.shape == {"dp": 4, "mdl": 2}
+    sh = batch_sharding(mesh)
+    x = jax.device_put(np.zeros((8, 3)), sh)
+    assert len(x.sharding.device_set) >= 4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_offline_trainer_sharded(tiny_model_cfg):
+    import dataclasses
+
+    from safevla_tpu.parallel.mesh import shard_batch
+    from safevla_tpu.training.offline import OfflineTrainer
+
+    mesh = make_mesh(dp=8, mdl=1)
+    cfg = Config()
+    cfg.model = dataclasses.replace(tiny_model_cfg, num_towers=1)
+    cfg.train.use_data_augmentation = False
+    trainer = OfflineTrainer(cfg, mesh=mesh)
+    state = trainer.init_state()
+    trainer._frozen_cache = state.frozen_params
+
+    B, T = 8, 4
+    rng = np.random.default_rng(0)
+    host_batch = {
+        "rgb_nav": rng.integers(0, 255, (B, T, 28, 42, 3), dtype=np.uint8),
+        "rgb_manip": rng.integers(0, 255, (B, T, 28, 42, 3), dtype=np.uint8),
+        "last_actions": np.full((B, T), 20, np.int32),
+        "actions": np.zeros((B, T), np.int32),
+        "time_ids": np.tile(np.arange(T, dtype=np.int32), (B, 1)),
+        "an_object_is_in_hand": np.zeros((B, T), np.int32),
+        "padding_mask": np.zeros((B, T), bool),
+        "instructions": ["go forward"] * B,
+    }
+    batch = trainer.prepare_batch(host_batch, state.frozen_params)
+    batch = shard_batch(mesh, batch)
+    from safevla_tpu.preprocessing.augment import identity_augment_params
+
+    state2, metrics = trainer._jit_step(state, batch, identity_augment_params())
+    assert np.isfinite(float(metrics["bc_loss"]))
