@@ -156,7 +156,14 @@ def _worker_main(conn, sampler_factory: Callable, stream_id: int, shm_name=None,
 
 
 class EnvPool:
-    """B parallel environment streams with a step/collect API."""
+    """B parallel environment streams with a step/collect API.
+
+    Process workers self-heal: a crashed worker (simulator death the sampler
+    couldn't recover from) is respawned up to `max_restarts` times and its
+    stream resumes with a fresh episode — the pool-level analog of the
+    reference's controller-reallocation + crash-recovery machinery
+    (reference abstract_task_sampler.py:196-225, allenact_trainer.py:56-69).
+    """
 
     def __init__(
         self,
@@ -167,7 +174,10 @@ class EnvPool:
         use_shm_frames: bool = False,
         shm_slot_bytes: int = 2 * 1024 * 1024,
         shm_slots: int = 8,
+        max_restarts: int = 10,
     ):
+        self.max_restarts = max_restarts
+        self.restarts = 0
         self.num_streams = num_streams
         self.use_processes = (num_workers or 0) > 0
         self._streams: List[_InlineStream] = []
@@ -194,7 +204,11 @@ class EnvPool:
                         ObsRing(n, shm_slots, shm_slot_bytes, create=True)
                         for n in shm_names
                     ]
+            self._shm_names = shm_names
+            self._shm_slots = shm_slots
+            self._shm_slot_bytes = shm_slot_bytes
             ctx = mp.get_context(mp_context)
+            self._ctx = ctx
             for i in range(num_streams):
                 parent, child = ctx.Pipe()
                 p = ctx.Process(
@@ -219,6 +233,54 @@ class EnvPool:
                 self.last_steps[i] = s.reset()
 
     # ------------------------------------------------------------------
+    def _restart_worker(self, i: int) -> EnvStep:
+        """Respawn a dead worker; returns the fresh episode's first step."""
+        if self.restarts >= self.max_restarts:
+            raise RuntimeError(
+                f"env worker {i} crashed and the restart budget "
+                f"({self.max_restarts}) is exhausted"
+            )
+        self.restarts += 1
+        try:
+            self._procs[i].terminate()
+        except Exception:
+            pass
+        parent, child = self._ctx.Pipe()
+        p = self._ctx.Process(
+            target=_worker_main,
+            args=(
+                child, self._sampler_factory, i,
+                self._shm_names[i], self._shm_slots, self._shm_slot_bytes,
+            ),
+            daemon=True,
+        )
+        p.start()
+        self._conns[i] = parent
+        self._procs[i] = p
+        tag, first = parent.recv()
+        if tag == "crash":
+            raise RuntimeError(f"env worker {i} crashed again at restart: {first[1]}")
+        first = _attach_frames(first, self._rings[i] if self._rings else None)
+        # surface the restart as an episode boundary (done + new episode)
+        first.done = True
+        return first
+
+    def _recv_step(self, i: int) -> EnvStep:
+        try:
+            tag, payload = self._conns[i].recv()
+        except (EOFError, ConnectionResetError):
+            tag, payload = "crash", ("worker pipe closed", "pipe EOF")
+        if tag == "crash":
+            import sys
+
+            print(
+                f"env worker {i} crashed ({payload[0]}); restarting "
+                f"({self.restarts + 1}/{self.max_restarts})",
+                file=sys.stderr,
+            )
+            return self._restart_worker(i)
+        return _attach_frames(payload, self._rings[i] if self._rings else None)
+
     def initial_steps(self) -> List[EnvStep]:
         return list(self.last_steps)
 
@@ -233,15 +295,11 @@ class EnvPool:
         force_advance = force_advance or [False] * (stop - start)
         if self.use_processes:
             for i, (a, f) in enumerate(zip(actions, force_advance)):
-                self._conns[start + i].send(("step", int(a), bool(f)))
-            out = []
-            for i in range(start, stop):
-                tag, payload = self._conns[i].recv()
-                if tag == "crash":
-                    raise RuntimeError(f"env worker {i} crashed: {payload[1]}")
-                out.append(
-                    _attach_frames(payload, self._rings[i] if self._rings else None)
-                )
+                try:
+                    self._conns[start + i].send(("step", int(a), bool(f)))
+                except (BrokenPipeError, OSError):
+                    pass  # surfaced by _recv_step as a crash
+            out = [self._recv_step(i) for i in range(start, stop)]
         else:
             out = [
                 self._streams[start + i].step(int(a), bool(f))
@@ -256,13 +314,11 @@ class EnvPool:
         force_advance = force_advance or [False] * self.num_streams
         if self.use_processes:
             for conn, a, f in zip(self._conns, actions, force_advance):
-                conn.send(("step", int(a), bool(f)))
-            out = []
-            for i, conn in enumerate(self._conns):
-                tag, payload = conn.recv()
-                if tag == "crash":
-                    raise RuntimeError(f"env worker {i} crashed: {payload[1]}")
-                out.append(_attach_frames(payload, self._rings[i] if self._rings else None))
+                try:
+                    conn.send(("step", int(a), bool(f)))
+                except (BrokenPipeError, OSError):
+                    pass  # surfaced by _recv_step as a crash
+            out = [self._recv_step(i) for i in range(self.num_streams)]
         else:
             out = [
                 s.step(int(a), bool(f))

@@ -86,3 +86,61 @@ def test_env_pool_shm_transport():
     assert out[0].obs["rgb_raw"].dtype == np.uint8
     assert "__ring_frames__" not in out[0].obs
     pool.close()
+
+
+class _CrashySampler:
+    """Sampler whose controller dies after N steps (simulates Unity death)."""
+
+    def __init__(self, stream_id):
+        import os
+        import tempfile
+
+        from tests.test_rollout_training import make_sampler_factory
+
+        self.inner = make_sampler_factory(max_steps=100)(stream_id)
+        self.steps = 0
+        # crash exactly once per stream across process restarts
+        self.marker = os.path.join(
+            tempfile.gettempdir(), f"svtest_crash_once_{os.getppid()}_{stream_id}"
+        )
+
+    def next_task(self, force_advance_scene=False):
+        task = self.inner.next_task(force_advance_scene=force_advance_scene)
+        outer = self
+
+        class _Wrap:
+            def __getattr__(self, k):
+                return getattr(task, k)
+
+            def step(self, a):
+                import os
+
+                outer.steps += 1
+                if outer.steps == 4 and not os.path.exists(outer.marker):
+                    open(outer.marker, "w").close()
+                    raise RuntimeError("Unity process has exited")
+                return task.step(a)
+
+        return _Wrap()
+
+    def close(self):
+        self.inner.close()
+
+
+def test_env_pool_worker_restart():
+    """A worker whose simulator dies is respawned and its stream resumes."""
+    from safevla_tpu.rollout.env_pool import EnvPool
+
+    pool = EnvPool(
+        _CrashySampler, num_streams=2, num_workers=2, mp_context="fork",
+        max_restarts=4,
+    )
+    for t in range(8):
+        out = pool.step([0, 0])
+        for s in out:
+            assert s.obs is not None
+    assert pool.restarts >= 1  # stream 0 and 1 both crash at their step 4
+    # streams keep producing observations after the restart
+    out = pool.step([1, 1])
+    assert out[0].obs["rgb_raw"].dtype == np.uint8
+    pool.close()
