@@ -60,6 +60,8 @@ def main():
 
     factory = make_sampler_factory(max_steps=100, image_hw=(224, 384))
 
+    use_async = os.environ.get("BENCH_ASYNC", "0") == "1"
+
     policy = SafeVLAPolicy(cfg.model)
     learner = Learner(policy, cfg)
     ts = learner.init(jax.random.PRNGKey(0))
@@ -67,18 +69,63 @@ def main():
     pool = EnvPool(factory, num_streams=B, num_workers=num_workers)
     runner = RolloutRunner(policy, cfg, pool, seed=0)
 
-    def iteration(ts):
-        params = {"towers": ts.tower_params, **ts.frozen_params}
-        batch, stats = runner.collect(params, T)
-        ts, metrics = learner.update(ts, batch, stats["mean_episode_cost"], 1)
-        jax.block_until_ready(metrics["total"])
-        return ts, stats
+    if use_async:
+        # async rollout/update pipeline: window k-1's PPO epochs interleave
+        # with window k's act programs on the chip (see training/online.py)
+        import jax.numpy as jnp
+
+        reps = cfg.ppo.update_repeats
+        prepare, epoch = learner.split_update_fns(1)
+        points = sorted({((i + 1) * T) // (reps + 1) for i in range(reps)})
+        state = {"prev": None, "ts": ts}
+
+        def iteration(_unused):
+            tsl = state["ts"]
+            pend = {"tp": tsl.tower_params, "opt": tsl.opt_state, "i": 0, "m": None}
+            prev = state["prev"]
+
+            def interleave(t):
+                if prev is None or pend["i"] >= reps:
+                    return
+                if t in points:
+                    mb, lam = prev
+                    pend["tp"], pend["opt"], pend["m"] = epoch(
+                        pend["tp"], pend["opt"], tsl.frozen_params, mb, lam
+                    )
+                    pend["i"] += 1
+
+            params = {"towers": tsl.tower_params, **tsl.frozen_params}
+            batch, stats = runner.collect(params, T, interleave_fn=interleave)
+            if prev is not None:
+                mb, lam = prev
+                while pend["i"] < reps:
+                    pend["tp"], pend["opt"], pend["m"] = epoch(
+                        pend["tp"], pend["opt"], tsl.frozen_params, mb, lam
+                    )
+                    pend["i"] += 1
+                state["ts"] = tsl._replace(tower_params=pend["tp"], opt_state=pend["opt"])
+                jax.block_until_ready(pend["m"]["total"])
+            mb, lag, lam = prepare(
+                state["ts"], batch, jnp.asarray(stats["mean_episode_cost"], jnp.float32)
+            )
+            state["prev"] = (mb, lam)
+            return state["ts"], stats
+    else:
+        def iteration(ts_in):
+            params = {"towers": ts_in.tower_params, **ts_in.frozen_params}
+            batch, stats = runner.collect(params, T)
+            ts_out, metrics = learner.update(ts_in, batch, stats["mean_episode_cost"], 1)
+            jax.block_until_ready(metrics["total"])
+            return ts_out, stats
 
     # warmup (compiles rollout policy_step, text encoder, update)
     t0 = time.time()
     ts, _ = iteration(ts)
     warmup = time.time() - t0
-    print(f"# warmup (compile) {warmup:.1f}s", file=sys.stderr)
+    if use_async:  # second warmup pass compiles the epoch programs
+        ts, _ = iteration(ts)
+        warmup = time.time() - t0
+    print(f"# warmup (compile) {warmup:.1f}s async={use_async}", file=sys.stderr)
     runner.timer.reset()  # drop compile-polluted timings
 
     t0 = time.time()

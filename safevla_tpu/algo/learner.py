@@ -258,6 +258,55 @@ class Learner:
         )
 
     # ------------------------------------------------------------------
+    # split-program update: the async rollout/update pipeline dispatches one
+    # PPO epoch at a time so act steps interleave with training on the chip
+    # ------------------------------------------------------------------
+    def _make_split_update(self, stage_id: int):
+        stage = STAGES[min(stage_id, len(STAGES) - 1)]
+        ppo = self.cfg.ppo
+
+        def prepare(train_state: TrainState, batch, mean_episode_cost):
+            rewards = jnp.stack([batch["rewards"].T, batch["costs"].T])
+            values = jnp.stack([batch["values"].T, batch["c_values"].T])
+            adv, ret = dual_gae(
+                rewards, values, batch["masks"].T, ppo.gamma, ppo.gae_lambda
+            )
+            mb = dict(batch)
+            mb["advantages"] = adv[0].T
+            mb["c_advantages"] = adv[1].T
+            mb["returns"] = ret[0].T
+            mb["c_returns"] = ret[1].T
+            mb["old_values"] = batch["values"][:, :-1]
+            mb["old_c_values"] = batch["c_values"][:, :-1]
+            if ppo.normalize_advantage:
+                for k in ("advantages", "c_advantages"):
+                    a = mb[k]
+                    mb[k] = (a - a.mean()) / (a.std() + 1e-8)
+            lagrange = train_state.lagrange
+            if stage.use_lagrange:
+                lagrange = update_lagrange(
+                    lagrange, mean_episode_cost, self.cfg.lagrange.multiplier_lr
+                )
+            return mb, lagrange, multiplier_value(lagrange)
+
+        def epoch(tower_params, opt_state, frozen_params, mb, lam):
+            (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                tower_params, frozen_params, mb, lam, stage
+            )
+            metrics["grad_norm"] = optax.global_norm(grads)
+            updates, opt_state = self.tx.update(grads, opt_state, tower_params)
+            tower_params = optax.apply_updates(tower_params, updates)
+            return tower_params, opt_state, metrics
+
+        return jax.jit(prepare), jax.jit(epoch)
+
+    def split_update_fns(self, stage_id: int):
+        key = ("split", min(int(stage_id), len(STAGES) - 1))
+        if key not in self._update_fns:
+            self._update_fns[key] = self._make_split_update(key[1])
+        return self._update_fns[key]
+
+    # ------------------------------------------------------------------
     def stage_for_step(self, step: int) -> int:
         acc = 0
         for i, st in enumerate(self.cfg.train.stages):

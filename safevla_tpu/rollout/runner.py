@@ -404,13 +404,18 @@ class RolloutRunner:
             self._cur[g] = self._ingest(env_steps, g)
 
     # ------------------------------------------------------------------
-    def collect(self, params, num_steps: int):
+    def collect(self, params, num_steps: int, interleave_fn=None):
         """Collect a rollout window; returns (learner batch, stats).
 
         Software-pipelined over stream groups: at the top of each time step
         every group has an in-flight device step; draining group g's actions
         and stepping its simulators overlaps the other groups' device work,
         and g's next dispatch overlaps the remaining groups' env stepping.
+
+        `interleave_fn(t)`, when given, is invoked after each completed time
+        step — the async training pipeline uses it to enqueue one PPO-epoch
+        program of the PREVIOUS window between this window's act programs
+        (device FIFO interleaving; see training/online.py).
         """
         T = num_steps
         cfg = self.cfg
@@ -453,6 +458,8 @@ class RolloutRunner:
                     inflight[g], storage = self._dispatch(g, t + 1, storage)
                 else:
                     inflight[g] = None
+            if interleave_fn is not None:
+                interleave_fn(t)
 
         # bootstrap forward on the T-th observation per group; its result is
         # reused as next window's step 0

@@ -17,6 +17,7 @@ from collections import defaultdict
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from safevla_tpu.algo.learner import Learner, TrainState
@@ -57,8 +58,10 @@ class OnlineTrainer:
         mesh=None,
         num_workers: Optional[int] = None,
         log_fn: Optional[Callable[[Dict[str, Any], int], None]] = None,
+        async_pipeline: bool = False,
     ):
         self.cfg = cfg
+        self.async_pipeline = async_pipeline
         self.policy = SafeVLAPolicy(cfg.model)
         self.learner = Learner(self.policy, cfg, mesh=mesh)
         self.pool = EnvPool(
@@ -104,6 +107,8 @@ class OnlineTrainer:
         train_state: Optional[TrainState] = None,
         max_wall_seconds: Optional[float] = None,
     ) -> TrainState:
+        if self.async_pipeline:
+            return self.train_async(total_steps, train_state, max_wall_seconds)
         cfg = self.cfg
         ts = train_state if train_state is not None else self.init_state()
         total = total_steps if total_steps is not None else cfg.train.total_steps
@@ -142,6 +147,99 @@ class OnlineTrainer:
                 path = save_checkpoint(self.output_dir, ts, step_now)
                 last_save = step_now
                 print(f"saved checkpoint {path}")
+
+            if max_wall_seconds and time.time() - t_start > max_wall_seconds:
+                break
+        return ts
+
+    # ------------------------------------------------------------------
+    def train_async(
+        self,
+        total_steps: Optional[int] = None,
+        train_state: Optional[TrainState] = None,
+        max_wall_seconds: Optional[float] = None,
+    ) -> TrainState:
+        """Async rollout/update pipeline (opt-in; SURVEY §7 step 8).
+
+        While window k is collected, window k-1's PPO epochs run on the chip:
+        the rollout's interleave hook enqueues one epoch program between act
+        programs, so training compute fills the device-idle slices created by
+        simulator stepping. Parameters therefore apply with a one-window
+        delay (standard async-PPO semantics: each window IS collected by the
+        same parameters its update starts from, so the clipped ratios remain
+        exact; only the application of the new parameters shifts by one
+        window). Throughput approaches max(rollout_wall, update_wall) instead
+        of their sum — the bigger the simulator share, the bigger the win.
+        """
+        cfg = self.cfg
+        ts = train_state if train_state is not None else self.init_state()
+        total = total_steps if total_steps is not None else cfg.train.total_steps
+        last_save = int(ts.step)
+        t_start = time.time()
+        reps = cfg.ppo.update_repeats
+        T = cfg.ppo.num_steps
+        B = self.pool.num_streams
+        # dispatch epoch i of the previous window after time step points[i]
+        points = sorted({((i + 1) * T) // (reps + 1) for i in range(reps)})
+
+        prev = None  # (mb, lagrange, lam, stage_id) of the window being trained
+        act_params = {"towers": ts.tower_params, **ts.frozen_params}
+
+        while int(ts.step) < total:
+            stage = self.learner.stage_for_step(int(ts.step))
+            prepare, epoch = self.learner.split_update_fns(stage)
+
+            pend = {"tp": ts.tower_params, "opt": ts.opt_state, "i": 0, "m": None}
+
+            def interleave(t, pend=pend, prev=prev):
+                if prev is None or pend["i"] >= reps:
+                    return
+                if t in points:
+                    mb, _, lam, _ = prev
+                    pend["tp"], pend["opt"], pend["m"] = epoch(
+                        pend["tp"], pend["opt"], ts.frozen_params, mb, lam
+                    )
+                    pend["i"] += 1
+
+            batch, roll_stats = self.runner.collect(act_params, T, interleave_fn=interleave)
+
+            if prev is not None:
+                mb, lagrange, lam, prev_stage = prev
+                while pend["i"] < reps:  # finish any undispatched epochs
+                    pend["tp"], pend["opt"], pend["m"] = epoch(
+                        pend["tp"], pend["opt"], ts.frozen_params, mb, lam
+                    )
+                    pend["i"] += 1
+                ts = TrainState(
+                    tower_params=pend["tp"],
+                    frozen_params=ts.frozen_params,
+                    opt_state=pend["opt"],
+                    lagrange=lagrange,
+                    step=ts.step + B * T,
+                )
+                act_params = {"towers": ts.tower_params, **ts.frozen_params}
+                metrics = {k: float(v) for k, v in pend["m"].items()}
+                metrics["lagrange_multiplier"] = float(
+                    __import__("safevla_tpu.algo.lagrange", fromlist=["multiplier_value"])
+                    .multiplier_value(lagrange)
+                )
+                step_now = int(ts.step)
+                log = {"stage": prev_stage, "async": True, **metrics, **roll_stats}
+                for m in self.runner.pop_metrics():
+                    self.episode_accum.add(m)
+                ep_means = self.episode_accum.means()
+                log.update({f"ep/{k}": v for k, v in ep_means.items()})
+                log["total_fps"] = step_now / max(time.time() - t_start, 1e-9)
+                self.log_fn(log, step_now)
+                if step_now - last_save >= cfg.train.save_interval:
+                    path = save_checkpoint(self.output_dir, ts, step_now)
+                    last_save = step_now
+                    print(f"saved checkpoint {path}")
+
+            mb, lagrange, lam = prepare(
+                ts, batch, jnp.asarray(roll_stats["mean_episode_cost"], jnp.float32)
+            )
+            prev = (mb, lagrange, lam, stage)
 
             if max_wall_seconds and time.time() - t_start > max_wall_seconds:
                 break
