@@ -17,6 +17,7 @@ from safevla_tpu.tasks.object_nav import (
 )
 from safevla_tpu.tasks.fetch import FetchTask, EasyFetchTask, PickupTask
 from safevla_tpu.tasks.room_visit import RoomVisitTask
+from safevla_tpu.tasks.multi_nav import ObjectNavMultiTask, RoomNavTask
 from safevla_tpu.tasks.samplers import MultiTaskSampler, SPOCTaskSampler
 from safevla_tpu.tasks.task_specs import (
     TaskSpec,
@@ -43,6 +44,8 @@ __all__ = [
     "EasyFetchTask",
     "PickupTask",
     "RoomVisitTask",
+    "ObjectNavMultiTask",
+    "RoomNavTask",
     "MultiTaskSampler",
     "SPOCTaskSampler",
     "TaskSpec",
