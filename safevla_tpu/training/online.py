@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from safevla_tpu.algo.lagrange import multiplier_value
 from safevla_tpu.algo.learner import Learner, TrainState
 from safevla_tpu.config import Config
 from safevla_tpu.models.actor_critic import SafeVLAPolicy
@@ -219,10 +220,7 @@ class OnlineTrainer:
                 )
                 act_params = {"towers": ts.tower_params, **ts.frozen_params}
                 metrics = {k: float(v) for k, v in pend["m"].items()}
-                metrics["lagrange_multiplier"] = float(
-                    __import__("safevla_tpu.algo.lagrange", fromlist=["multiplier_value"])
-                    .multiplier_value(lagrange)
-                )
+                metrics["lagrange_multiplier"] = float(multiplier_value(lagrange))
                 step_now = int(ts.step)
                 log = {"stage": prev_stage, "async": True, **metrics, **roll_stats}
                 for m in self.runner.pop_metrics():

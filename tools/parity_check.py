@@ -127,10 +127,52 @@ def check_policy(args) -> bool:
     return same
 
 
+def check_goldens(args) -> bool:
+    """Verify converted encoders against a goldens.npz recorded by
+    tools/record_goldens.py in the reference (torch) environment."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+
+    data = np.load(args.goldens, allow_pickle=True)
+    ok = True
+
+    if "dinov2_out" in data:
+        from safevla_tpu.models.convert import import_dinov2
+        from safevla_tpu.models.vit import VIT_CONFIGS, DinoViT
+
+        sd = {
+            k[len("dinov2_sd/") :]: data[k]
+            for k in data.files
+            if k.startswith("dinov2_sd/")
+        }
+        params = import_dinov2(sd, depth=12, grid=(16, 27))
+        cfg = dataclasses.replace(VIT_CONFIGS["dinov2_vits14"], dtype=jnp.float32)
+        vit = DinoViT(cfg)
+        ours = np.asarray(
+            jax.jit(lambda p, x: vit.apply(p, x))(params, jnp.asarray(data["dinov2_in"]))
+        )
+        ok &= check("dinov2 vs goldens", ours, data["dinov2_out"], args.atol or 1e-3)
+
+    if "t5_out" in data:
+        from safevla_tpu.models.convert import import_t5
+        from safevla_tpu.models.t5 import T5Config, T5Encoder
+
+        sd = {k[len("t5_sd/") :]: data[k] for k in data.files if k.startswith("t5_sd/")}
+        params = import_t5(sd)
+        enc = T5Encoder(T5Config(dtype=jnp.float32))
+        tokens = jnp.asarray(data["t5_in_tokens"])
+        mask = jnp.ones(tokens.shape, bool)
+        ours = np.asarray(jax.jit(lambda p, t, m: enc.apply(p, t, m))(params, tokens, mask))
+        ok &= check("t5 vs goldens", ours, data["t5_out"], args.atol or 1e-4)
+    return ok
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("what", choices=["dinov2", "t5", "policy", "all"])
+    parser.add_argument("what", choices=["dinov2", "t5", "policy", "goldens", "all"])
     parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--goldens", default="goldens.npz")
     parser.add_argument("--atol", type=float, default=None)
     args = parser.parse_args()
 
@@ -138,8 +180,9 @@ def main():
         "dinov2": check_dinov2,
         "t5": check_t5,
         "policy": check_policy,
+        "goldens": check_goldens,
     }
-    selected = list(checks) if args.what == "all" else [args.what]
+    selected = ["dinov2", "t5", "policy"] if args.what == "all" else [args.what]
     ok = True
     for name in selected:
         try:
