@@ -422,6 +422,31 @@ class StretchController(BaseController):
     def get_room_id_from_location(self, position):
         return get_room_id_from_location(self.room_poly_map, position)
 
+    def get_top_down_path_view(self, agent_path, targets_to_highlight=None):
+        """Render the followed path from an overhead camera
+        (reference stretch_controller.py:300-332)."""
+        if len(self.controller.last_event.third_party_camera_frames) < 2:
+            ev = self.controller.step({"action": "GetMapViewCameraProperties"})
+            cam = ev.metadata["actionReturn"].copy()
+            bounds = ev.metadata["sceneBounds"]["size"]
+            max_bound = max(bounds["x"], bounds["z"])
+            cam["fieldOfView"] = 50
+            cam["position"]["y"] += 1.1 * max_bound
+            cam["orthographic"] = False
+            cam["farClippingPlane"] = 50
+            cam.pop("orthographicSize", None)
+            self.controller.step(
+                {"action": "AddThirdPartyCamera", "skyboxColor": "white", **cam}
+            )
+        self.controller.step({"action": "VisualizeWaypoints", "waypoints": []})
+        ev = self.controller.step(
+            {"action": "VisualizePath", "positions": agent_path, "pathWidth": 0.2}
+        )
+        self.controller.step({"action": "HideVisualizedPath"})
+        frame = ev.third_party_camera_frames[-1]
+        cutoff = round(frame.shape[1] * 6 / 396)
+        return frame[:, cutoff:-cutoff, :], agent_path
+
     # ------------------------------------------------------------------
     # action execution
     # ------------------------------------------------------------------
