@@ -192,3 +192,28 @@ def test_pipelined_groups_collect(tiny_cfg):
     batch2, _ = runner.collect(params, T)
     assert batch2["actions"].shape == (B, T)
     pool.close()
+
+
+def test_rollout_deterministic_given_seed(tiny_cfg):
+    """Same seed + same env stream -> identical actions and batch contents."""
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+    from safevla_tpu.rollout.env_pool import EnvPool
+    from safevla_tpu.rollout.runner import RolloutRunner
+
+    policy = SafeVLAPolicy(tiny_cfg.model)
+    learner = Learner(policy, tiny_cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    params = {"towers": ts.tower_params, **ts.frozen_params}
+
+    def run():
+        pool = EnvPool(make_sampler_factory(max_steps=5), num_streams=2, num_workers=0)
+        runner = RolloutRunner(policy, tiny_cfg, pool, seed=7, overlap_groups=2)
+        batch, _ = runner.collect(params, 10)
+        pool.close()
+        return np.asarray(batch["actions"]), np.asarray(batch["rewards"])
+
+    a1, r1 = run()
+    a2, r2 = run()
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(r1, r2)
