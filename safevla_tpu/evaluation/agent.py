@@ -116,6 +116,8 @@ class InferenceAgent:
             sub,
         )
         out = np.asarray(action)
+        # expose the last action distribution for video annotation
+        self.last_probs = np.asarray(jax.nn.softmax(logits, axis=-1))
         self.prev_action = out.copy()
         return out
 

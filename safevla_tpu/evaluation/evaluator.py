@@ -151,11 +151,13 @@ class BatchedEvaluator:
                 and episodes_on_stream0 % self.video_every == 0
                 and obs[0] is not None
             ):
+                probs = getattr(agent, "last_probs", None)
                 recorder.add(
                     rgb_nav[0],
                     step=int(episode_steps[0]),
                     action_name=ALL_STRETCH_ACTIONS[int(actions[0])],
                     chosen=int(actions[0]),
+                    probs=probs[0] if probs is not None else None,
                 )
 
             next_steps = pool.step([int(a) for a in actions])
