@@ -46,6 +46,12 @@ def main(argv=None):
     cfg = apply_overrides(Config(), args.overrides)
     samples = load_benchmark_episodes(args.benchmark)
     max_len = MAX_EPISODE_LEN_PER_TASK.get(args.task_type, 600)
+    if not any(o.startswith("model.max_steps=") for o in args.overrides):
+        # the KV cache must cover the eval episode cap (train default is 500)
+        import dataclasses
+
+        cfg.model = dataclasses.replace(cfg.model, max_steps=max_len)
+        cfg.train.max_steps = max_len
     h, w = cfg.model.image_size
 
     if args.fake_env:

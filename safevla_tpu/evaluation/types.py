@@ -61,7 +61,10 @@ def eval_sample_to_normalized_eval_sample(
     task_type: str, sample: EvalSample, index: int
 ) -> NormalizedEvalSample:
     if "task_type" in sample:
-        assert task_type == map_task_type(sample["task_type"])
+        declared = map_task_type(sample["task_type"])
+    assert task_type == declared, (
+        f"--task-type {task_type!r} does not match benchmark sample type {declared!r}"
+    )
     return NormalizedEvalSample(
         sample_id=f"task={task_type},house={sample['house_index']},sub_house_id={index}",
         house_id=str(sample["house_index"]).zfill(6),
