@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument("--fake-env", action="store_true")
     parser.add_argument("--mode", default="greedy", choices=["greedy", "sample"])
     parser.add_argument("--output", default=None, help="write results json here")
+    parser.add_argument("--video-dir", default=None,
+                        help="record annotated episode videos + top-down maps here")
+    parser.add_argument("--video-every", type=int, default=1,
+                        help="record every Nth episode of stream 0")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -84,6 +88,8 @@ def main(argv=None):
                     action_names=ALL_STRETCH_ACTIONS,
                     reward_config=None,
                 ),
+                # stream 0 renders top-down path maps when recording
+                visualize=bool(args.video_dir) and stream_id == 0,
                 houses=houses,
                 house_inds=house_inds,
                 controller_args=controller_args,
@@ -109,6 +115,8 @@ def main(argv=None):
         factory_builder,
         num_streams=cfg.eval.num_workers,
         num_workers=0 if args.fake_env else cfg.eval.num_workers,
+        video_dir=args.video_dir,
+        video_every=args.video_every if args.video_dir else 0,
     )
     results = evaluator.evaluate(agent, samples, args.task_type)
 

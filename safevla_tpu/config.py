@@ -150,6 +150,9 @@ class OfflineConfig:
     data_dir: str = "data"
     loader_workers: int = 4
     prob_sample_last_steps: float = 0.0
+    # on resume, load model weights but re-initialize the optimizer state
+    # (reference AdamWSkipLoadStateDict + --restart_optimizer, train_pl.py:74-80)
+    restart_optimizer: bool = False
 
 
 @dataclass

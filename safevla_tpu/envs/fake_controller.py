@@ -356,6 +356,29 @@ class FakeController(BaseController):
     ) -> float:
         return self.dist_from_arm_sphere_center_to_obj(object_id)
 
+    def get_top_down_path_view(self, agent_path, targets_to_highlight=None):
+        """Synthetic overhead render: white canvas, path rasterized in red.
+        Mirrors StretchController.get_top_down_path_view's (frame, path)
+        return so evaluator video code is controller-agnostic."""
+        size = 256
+        frame = np.full((size, size, 3), 255, np.uint8)
+        xs = [p["x"] if isinstance(p, dict) else p[0] for p in agent_path]
+        zs = [p["z"] if isinstance(p, dict) else p[2] for p in agent_path]
+        if xs:
+            x0, x1 = min(xs) - 1e-6, max(xs) + 1e-6
+            z0, z1 = min(zs) - 1e-6, max(zs) + 1e-6
+            span = max(x1 - x0, z1 - z0)
+            for x, z in zip(xs, zs):
+                px = int((x - x0) / span * (size - 20)) + 10
+                pz = int((z - z0) / span * (size - 20)) + 10
+                frame[max(pz - 2, 0):pz + 2, max(px - 2, 0):px + 2] = (200, 30, 30)
+        return frame, agent_path
+
+    def get_objects_room_id_and_type(self, object_id):
+        pos = self.get_obj_pos_from_obj_id(object_id)
+        room_id = self.get_room_id_from_location(pos)
+        return room_id, self.room_type_dict.get(room_id, "Unknown")
+
     def get_room_id_from_location(self, position) -> Optional[str]:
         x = position["x"] if isinstance(position, dict) else position[0]
         z = position["z"] if isinstance(position, dict) else position[2]

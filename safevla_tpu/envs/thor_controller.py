@@ -422,6 +422,14 @@ class StretchController(BaseController):
     def get_room_id_from_location(self, position):
         return get_room_id_from_location(self.room_poly_map, position)
 
+    def get_objects_room_id_and_type(self, object_id):
+        """Room id + type containing the object
+        (reference stretch_controller.py object->room query used by the eval
+        worker's has_agent_been_in_obj_room, online_evaluator_worker.py:418-435)."""
+        pos = self.get_obj_pos_from_obj_id(object_id)
+        room_id = self.get_room_id_from_location(pos)
+        return room_id, self.room_type_dict.get(room_id, "Unknown")
+
     def get_top_down_path_view(self, agent_path, targets_to_highlight=None):
         """Render the followed path from an overhead camera
         (reference stretch_controller.py:300-332)."""

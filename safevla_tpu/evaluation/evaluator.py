@@ -168,6 +168,23 @@ class BatchedEvaluator:
                 if s.metrics is not None:
                     m = dict(s.metrics)
                     m["ep_steps_measured"] = int(episode_steps[i])
+                    top_down = m.pop("top_down_frame", None)
+                    if top_down is not None and self.video_dir:
+                        from safevla_tpu.utils.video import save_image
+
+                        sid = m.get("task_info", {}).get("eval_info", {}).get(
+                            "sample_id", m.get("task_info", {}).get("id", "ep")
+                        )
+                        safe = (
+                            str(sid)
+                            .replace("/", "_")
+                            .replace("=", "-")
+                            .replace(",", "_")
+                        )
+                        m["top_down_path"] = save_image(
+                            top_down,
+                            f"{self.video_dir}/{safe}_topdown.png",
+                        )
                     all_metrics.append(m)
                     episode_steps[i] = 0
                     if i == 0 and recorder is not None:

@@ -45,7 +45,6 @@ from safevla_tpu.models.llama_decoder import (
     init_kv_cache,
 )
 from safevla_tpu.models.t5 import T5Config, T5Encoder
-from safevla_tpu.models.vit import VIT_CONFIGS, DinoViT
 from safevla_tpu.ops.hl_gauss import HLGauss
 from safevla_tpu.ops.masks import incremental_episode_mask, packed_block_causal_mask
 
@@ -365,7 +364,9 @@ class SafeVLAPolicy:
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
-        self.vit = DinoViT(VIT_CONFIGS[cfg.vision_backbone])
+        from safevla_tpu.models.image_encoders import build_image_encoder
+
+        self.vit = build_image_encoder(cfg.vision_backbone)
         self.t5 = T5Encoder(T5Config(d_model=cfg.text_embed_size))
         self.tower = PolicyTower(cfg)
         self.num_towers = cfg.num_towers

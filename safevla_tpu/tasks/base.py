@@ -16,7 +16,11 @@ import numpy as np
 
 from safevla_tpu.tasks.cost_model import CostTracker
 from safevla_tpu.types import RewardConfig, StepResult, THORActions
-from safevla_tpu.utils.metrics import position_dist, sel_metric
+from safevla_tpu.utils.metrics import (
+    position_dist,
+    sel_metric,
+    trajectory_room_visitation,
+)
 
 
 class SPOCTask:
@@ -74,6 +78,7 @@ class SPOCTask:
         self.room_type_dict = getattr(controller, "room_type_dict", {})
         self.visited_and_left_rooms = set()
         self.previous_room = None
+        self.rooms_visited_history: List[Any] = []
 
         self.task_info["followed_path"] = [controller.get_current_agent_position()]
         self.task_info["agent_poses"] = [controller.get_current_agent_full_pose()]
@@ -145,6 +150,8 @@ class SPOCTask:
         action_str = self.action_names[action]
 
         current_room = self.get_current_room()
+        if current_room is not None:
+            self.rooms_visited_history.append(current_room)
         if current_room != self.previous_room and current_room is not None:
             if self.previous_room is not None:
                 self.visited_and_left_rooms.add(self.previous_room)
@@ -239,8 +246,69 @@ class SPOCTask:
             else 0
         )
         metrics["sel"] = 0.0 if sel is None or np.isnan(sel) else sel
+        if self.room_poly_map:
+            pct, tot = trajectory_room_visitation(
+                self.controller.get_room_id_from_location,
+                self.task_info["followed_path"],
+                len(self.room_poly_map),
+            )
+        else:
+            pct, tot = 0, 0
+        metrics["percentage_rooms_visited"] = pct
+        metrics["total_rooms_visited"] = tot
+        if self.visualize:
+            # overhead render of the followed path, shipped with the episode
+            # metrics for the evaluator's video/table output (reference
+            # online_evaluator_worker.py:395-403 top_down_frame)
+            render = getattr(self.controller, "get_top_down_path_view", None)
+            if render is not None:
+                try:
+                    metrics["top_down_frame"] = np.asarray(
+                        render(self.task_info["followed_path"])[0]
+                    )
+                except Exception:
+                    pass
+        if len(self.task_info.get("synsets", [])) == 1:
+            self._extra_per_obj_metrics(metrics)
         self._metrics = metrics
         return metrics
+
+    def _extra_per_obj_metrics(self, metrics: Dict[str, Any]):
+        """Per-object diagnostic metrics, incl. failure analysis: did the
+        agent at least reach the target's room / see target pixels
+        (reference online_evaluator_worker.py:418-485)."""
+        object_type = self.task_info["synsets"][0]
+        metrics[f"extra/{object_type}/success"] = metrics["success"]
+        metrics[f"extra/{object_type}/ep_length"] = self.num_steps_taken()
+        if metrics["success"]:
+            return
+        metrics[f"extra/{object_type}/when_failed_visited_obj_room"] = (
+            self._visited_target_room(object_type)
+        )
+        for cam in ("nav", "manip"):
+            key = f"num_pixels_visible_{cam}"
+            vals = [
+                int(np.asarray(o[key]).reshape(-1)[0])
+                for o in self.observation_history
+                if o is not None and key in o
+            ]
+            if vals:
+                metrics[
+                    f"extra/{object_type}/when_failed_max_visible_pixels_{cam}"
+                ] = max(vals)
+
+    def _visited_target_room(self, object_type: str) -> bool:
+        get_room = getattr(self.controller, "get_objects_room_id_and_type", None)
+        if get_room is None:
+            return False
+        target_rooms = set()
+        for oid in self.task_info.get("synset_to_object_ids", {}).get(object_type, []):
+            try:
+                target_rooms.add(get_room(oid)[0])
+            except Exception:
+                pass
+        target_rooms.discard(None)
+        return bool(target_rooms & set(self.rooms_visited_history))
 
     def add_extra_task_information(self, key, value):
         assert key not in self.task_info["extras"], "extras keys are write-once"

@@ -9,7 +9,7 @@ import numpy as np
 from safevla_tpu.tasks.base import SPOCTask
 from safevla_tpu.tasks.registry import register_task
 from safevla_tpu.tasks.rewards import FetchRewardShaper
-from safevla_tpu.types import RewardConfig
+from safevla_tpu.types import RewardConfig, THORActions
 from safevla_tpu.utils.metrics import position_dist, spl_metric
 
 
@@ -117,6 +117,12 @@ class FetchTask(SPOCTask):
         metrics["cost_fragile"] = c.fragile
         metrics["cost_blind"] = c.blind
         metrics["cost"] = self.cumulative_cost
+        if not self._success:
+            # failure diagnostic: did the policy at least attempt a pickup
+            # (reference online_evaluator_worker.py:526-530)
+            metrics["failed_but_tried_pickup"] = int(
+                THORActions.pickup in self.task_info["taken_actions"]
+            )
         self._metrics = metrics
         return metrics
 

@@ -96,6 +96,29 @@ class OfflineTrainer:
         )
 
     # ------------------------------------------------------------------
+    def restore_state(
+        self,
+        ckpt_dir: str,
+        restart_optimizer: Optional[bool] = None,
+    ) -> Optional[BCTrainState]:
+        """Resume from the latest checkpoint in `ckpt_dir`, or None if empty.
+
+        With `restart_optimizer` (default from cfg.offline.restart_optimizer)
+        only the model weights are taken from the checkpoint; the AdamW state
+        is freshly initialized — the reference implements the same via an
+        optimizer whose load_state_dict is a no-op (train_pl.py:74-80).
+        """
+        step_dir = latest_checkpoint(ckpt_dir)
+        if step_dir is None:
+            return None
+        restored = restore_checkpoint(step_dir, self.init_state())
+        if restart_optimizer is None:
+            restart_optimizer = self.cfg.offline.restart_optimizer
+        if restart_optimizer:
+            restored = restored._replace(opt_state=self.tx.init(restored.tower_params))
+        return restored
+
+    # ------------------------------------------------------------------
     def _forward(self, tower_params, frozen, batch, aug):
         cfg = self.cfg
         b, t = batch["rgb_nav"].shape[:2]
@@ -210,6 +233,11 @@ class OfflineTrainer:
         output_dir: Optional[str] = None,
     ) -> BCTrainState:
         cfg = self.cfg
+        out_dir_early = output_dir or os.path.join(cfg.train.output_dir, "offline")
+        if state is None:
+            state = self.restore_state(out_dir_early)
+            if state is not None:
+                print(f"[bc] resumed from {out_dir_early} @ epoch {int(state.epoch)}", flush=True)
         state = state if state is not None else self.init_state()
         self._frozen_cache = state.frozen_params
         log_fn = log_fn or (lambda m, s: print(f"[bc {s}] {m}", flush=True))

@@ -62,3 +62,12 @@ def position_dist(
 
 def sum_dist_path(path: List[Vector3]) -> float:
     return sum(position_dist(path[i], path[i + 1]) for i in range(len(path) - 1))
+
+
+def trajectory_room_visitation(room_lookup, trajectory, num_rooms: int):
+    """(fraction, count) of distinct rooms the trajectory passed through
+    (reference online_evaluation_types_and_utils.py:122-130). `room_lookup`
+    maps a position (dict or xyz sequence) to a room id or None."""
+    visited = {room_lookup(p) for p in trajectory}
+    visited.discard(None)
+    return len(visited) / (num_rooms + 1e-9), len(visited)

@@ -106,6 +106,20 @@ def save_video(frames: List[np.ndarray], path: str, fps: int = 5) -> str:
         return alt
 
 
+def save_image(frame: np.ndarray, path: str) -> str:
+    """png via imageio if possible; .npy fallback."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:  # pragma: no cover - depends on imageio
+        import imageio.v3 as iio
+
+        iio.imwrite(path, frame)
+        return path
+    except Exception:
+        alt = os.path.splitext(path)[0] + ".npy"
+        np.save(alt, frame)
+        return alt
+
+
 class EpisodeVideoRecorder:
     """Collects annotated frames over an episode and writes one file."""
 

@@ -125,6 +125,29 @@ def test_bc_fit_improves_loss(chores_dir, tiny_model_cfg, tmp_path):
     assert "f1/macro" in logs[-1]
     assert (tmp_path / "ckpt").exists()
 
+    # resume: fit with no explicit state picks up the saved checkpoint
+    trainer2 = OfflineTrainer(cfg)
+    state2 = trainer2.fit(
+        batches, num_epochs=3, log_fn=lambda m, s: None, output_dir=str(tmp_path / "ckpt")
+    )
+    assert int(state2.epoch) == 3  # already at target epoch -> no extra work
+
+    # restart_optimizer: weights come from the ckpt, AdamW state is fresh
+    restored = trainer2.restore_state(str(tmp_path / "ckpt"), restart_optimizer=True)
+    import jax
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.tower_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.tower_params)[0]),
+    )
+    counts = [
+        np.asarray(x)
+        for x in jax.tree_util.tree_leaves(restored.opt_state)
+        if np.asarray(x).ndim == 0
+    ]
+    assert any(c == 0 for c in counts)  # fresh optimizer step counter
+
 
 def test_il_to_rl_weight_transfer(chores_dir, tiny_model_cfg):
     """BC tower params drop into the RL 3-tower state without remapping."""

@@ -247,3 +247,47 @@ def test_room_nav_success_by_room_type():
     )
     controller2.teleport_agent({"x": 1.0, "y": 0.9, "z": 3.0}, {"x": 0, "y": 0, "z": 0})
     assert not t2.successful_if_done()
+
+
+def test_room_visitation_and_failure_diagnostics(sampler):
+    task = sampler.next_task()
+    # run the episode to the step cap without issuing done -> guaranteed failure
+    while not task.is_done():
+        task.step(ALL_STRETCH_ACTIONS.index(THORActions.move_ahead))
+    m = task.metrics()
+    assert 0.0 <= m["percentage_rooms_visited"] <= 1.0
+    assert m["total_rooms_visited"] >= 1  # the starting room counts
+    obj = task.task_info["synsets"][0]
+    assert m[f"extra/{obj}/success"] == m["success"] == False  # noqa: E712
+    assert f"extra/{obj}/when_failed_visited_obj_room" in m
+    assert isinstance(m[f"extra/{obj}/when_failed_visited_obj_room"], bool)
+
+
+def test_fetch_failed_but_tried_pickup():
+    controller = FakeController(seed=5)
+    spec = make_task_spec(controller, task_type="FetchType")
+    task_args = dict(
+        sensors=default_train_sensors(),
+        max_steps=6,
+        action_names=ALL_STRETCH_ACTIONS,
+        reward_config=RewardConfig(goal_success_reward=10.0),
+    )
+    s = MultiTaskSampler(
+        mode="train",
+        task_args=task_args,
+        houses=[{"rooms": [{}, {}]}],
+        house_inds=[0],
+        controller_args={"seed": 5},
+        controller_type=FakeController,
+        task_spec_sampler=TaskSpecSamplerInfiniteList(
+            {0: [spec]}, shuffle=False, repeat_house_until_forced=True
+        ),
+        controller=controller,
+    )
+    task = s.next_task()
+    task.step(ALL_STRETCH_ACTIONS.index(THORActions.pickup))
+    while not task.is_done():
+        task.step(ALL_STRETCH_ACTIONS.index(THORActions.move_ahead))
+    m = task.metrics()
+    if not m["success"]:
+        assert m["failed_but_tried_pickup"] == 1
