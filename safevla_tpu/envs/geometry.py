@@ -83,3 +83,22 @@ def get_room_id_from_location(poly_map: Dict[str, Polygon2D], position) -> str |
     if on_walls:
         return on_walls[0]
     return None
+
+
+def heading_to_target(agent_pose, target_position) -> float:
+    """Signed yaw offset (degrees, wrapped to (-180, 180]) from the agent's
+    heading to the target (reference navigation_utils.py:30-42 rotation_from).
+    0 = facing the target; positive = target is clockwise."""
+    import math
+
+    dx = target_position["x"] - agent_pose["position"]["x"]
+    dz = target_position["z"] - agent_pose["position"]["z"]
+    heading = agent_pose["rotation"]["y"]
+    if dx == 0 and dz == 0:
+        result = heading
+    else:
+        result = math.degrees(math.atan2(dx, dz))
+    result = (result - heading) % 360
+    if result > 180:
+        result -= 360
+    return result

@@ -313,6 +313,31 @@ class Visible4mTargetCountSensor(Sensor):
         return np.array([count], dtype=np.int64)
 
 
+class MinimumTargetAlignmentSensor(Sensor):
+    """Smallest |yaw offset| (deg) to any target instance visible within 2m
+    in the nav camera; -1 when none visible (reference
+    navigation_sensors.py:204-236)."""
+
+    def __init__(self, uuid: str = "minimum_visible_target_alignment"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        info = task.task_info
+        if "synsets" not in info:
+            return np.array([-1], dtype=np.float64)
+        object_type = info["synsets"][0]
+        alignments = [
+            abs(env.get_agent_alignment_to_object(oid))
+            for oid in info["synset_to_object_ids"][object_type]
+            if env.object_is_visible_in_camera(
+                oid, which_camera="nav", maximum_distance=2
+            )
+        ]
+        if not alignments:
+            return np.array([-1], dtype=np.float64)
+        return np.array([min(alignments)], dtype=np.float64)
+
+
 class NumPixelsVisible(Sensor):
     """Pixel count of the target's segmentation mask
     (reference navigation_sensors.py:833-870)."""

@@ -422,6 +422,20 @@ class StretchController(BaseController):
     def get_room_id_from_location(self, position):
         return get_room_id_from_location(self.room_poly_map, position)
 
+
+    def get_agent_alignment_to_object(self, object_id, use_arm_orientation=False):
+        """Signed yaw (deg) from heading (or arm axis, +90) to the object
+        (reference stretch_controller.py:730-739)."""
+        from safevla_tpu.envs.geometry import heading_to_target
+
+        pose = self.get_current_agent_full_pose()
+        if use_arm_orientation:
+            pose = {
+                "position": pose["position"],
+                "rotation": {**pose["rotation"], "y": pose["rotation"]["y"] + 90},
+            }
+        return heading_to_target(pose, self.get_obj_pos_from_obj_id(object_id))
+
     def get_objects_room_id_and_type(self, object_id):
         """Room id + type containing the object
         (reference stretch_controller.py object->room query used by the eval

@@ -30,6 +30,11 @@ BASELINE_CKPTS = {
     "objectnav": "FLaRe_objectnav_sparse_reward_000021026752.pt",
 }
 CKPT_BASE = "https://pub-4194bc6e8ed3420491581242f2531a56.r2.dev/FLaRe_ckpts"
+# safety-aligned checkpoints on HuggingFace
+# (reference scripts/download_aligned_ckpt.py:50-54)
+ALIGNED_REPO = "SafetyEmbodiedAI/safety-model"
+ALIGNED_IDS = ("objnav", "pickup", "fetch")
+HF_RESOLVE = "https://huggingface.co/{repo}/resolve/main/{filename}"
 HOUSES_BASE = "https://pub-5932b61898254419952f5b13d42d82ab.r2.dev/procthor_objaverse%2F2023_07_28"
 DATA_BASE = "https://pub-bebbada739114fa1aa96aaf25c873a66.r2.dev"
 
@@ -61,6 +66,10 @@ def main():
     p.add_argument("--save-dir", required=True)
     p.add_argument("--ids", nargs="+", default=list(BASELINE_CKPTS))
 
+    p = sub.add_parser("aligned", help="safety-aligned (SafeVLA) checkpoints")
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--ids", nargs="+", default=list(ALIGNED_IDS), choices=ALIGNED_IDS)
+
     p = sub.add_parser("houses", help="objaverse ProcTHOR houses")
     p.add_argument("--save-dir", required=True)
     p.add_argument("--subset", nargs="+", default=["train", "val"])
@@ -76,6 +85,13 @@ def main():
         for cid in args.ids:
             fname = BASELINE_CKPTS[cid]
             download(f"{CKPT_BASE}/{fname}", os.path.join(args.save_dir, cid, fname))
+    elif args.what == "aligned":
+        for cid in args.ids:
+            fname = f"safe_{cid}.pt"
+            download(
+                HF_RESOLVE.format(repo=ALIGNED_REPO, filename=fname),
+                os.path.join(args.save_dir, fname),
+            )
     elif args.what == "houses":
         for subset in args.subset:
             download(

@@ -291,3 +291,23 @@ def test_fetch_failed_but_tried_pickup():
     m = task.metrics()
     if not m["success"]:
         assert m["failed_but_tried_pickup"] == 1
+
+
+def test_minimum_target_alignment_sensor(sampler):
+    from safevla_tpu.envs.geometry import heading_to_target
+    from safevla_tpu.envs.sensors import MinimumTargetAlignmentSensor
+
+    # helper semantics: target straight ahead (z+) at heading 0 -> 0 deg;
+    # directly behind -> 180 (wrapped to (-180, 180])
+    pose = {"position": {"x": 0.0, "z": 0.0}, "rotation": {"y": 0.0}}
+    assert heading_to_target(pose, {"x": 0.0, "z": 1.0}) == 0.0
+    assert heading_to_target(pose, {"x": 1.0, "z": 0.0}) == 90.0
+    assert heading_to_target(pose, {"x": 0.0, "z": -1.0}) == 180.0
+    pose = {"position": {"x": 0.0, "z": 0.0}, "rotation": {"y": 90.0}}
+    assert heading_to_target(pose, {"x": 1.0, "z": 0.0}) == 0.0
+
+    task = sampler.next_task()
+    obs = MinimumTargetAlignmentSensor().get_observation(task.controller, task)
+    assert obs.shape == (1,) and obs.dtype == np.float64
+    # either no target visible (-1) or a valid |alignment| in [0, 180]
+    assert obs[0] == -1 or 0 <= obs[0] <= 180
