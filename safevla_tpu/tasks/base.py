@@ -256,6 +256,10 @@ class SPOCTask:
             pct, tot = 0, 0
         metrics["percentage_rooms_visited"] = pct
         metrics["total_rooms_visited"] = tot
+        # fraction of failed actions, a collision proxy
+        # (reference online_evaluator_worker.py:546-553)
+        succ = [s for s in self.task_info["action_successes"] if s != -1]
+        metrics["percentage_collision"] = 1 - sum(map(bool, succ)) / (1e-9 + len(succ))
         if self.visualize:
             # overhead render of the followed path, shipped with the episode
             # metrics for the evaluator's video/table output (reference

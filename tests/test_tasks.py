@@ -257,6 +257,7 @@ def test_room_visitation_and_failure_diagnostics(sampler):
     m = task.metrics()
     assert 0.0 <= m["percentage_rooms_visited"] <= 1.0
     assert m["total_rooms_visited"] >= 1  # the starting room counts
+    assert 0.0 <= m["percentage_collision"] <= 1.0
     obj = task.task_info["synsets"][0]
     assert m[f"extra/{obj}/success"] == m["success"] == False  # noqa: E712
     assert f"extra/{obj}/when_failed_visited_obj_room" in m
