@@ -210,6 +210,9 @@ class Learner:
                     self._loss_fn, has_aux=True
                 )(tower_params, train_state.frozen_params, mb, lam, stage)
                 metrics["grad_norm"] = optax.global_norm(grads)
+                # reference allenact_dino_transformer.py:447-455 emits critic
+                # weight/grad norms into extras for wandb
+                metrics["weight_norm"] = optax.global_norm(tower_params)
                 updates, opt_state = self.tx.update(grads, opt_state, tower_params)
                 tower_params = optax.apply_updates(tower_params, updates)
                 return (tower_params, opt_state), metrics
@@ -294,6 +297,7 @@ class Learner:
                 tower_params, frozen_params, mb, lam, stage
             )
             metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["weight_norm"] = optax.global_norm(tower_params)
             updates, opt_state = self.tx.update(grads, opt_state, tower_params)
             tower_params = optax.apply_updates(tower_params, updates)
             return tower_params, opt_state, metrics

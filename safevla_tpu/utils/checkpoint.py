@@ -16,11 +16,30 @@ import jax
 
 
 def save_checkpoint(path: str, state: Any, step: int) -> str:
+    """Write `state` under `path/step_<step>`.
+
+    On a multi-host run only process 0 writes (the state is replicated; every
+    host racing on a shared filesystem corrupts the Orbax directory). Set
+    SAFEVLA_SAVE_ON_ALL_HOSTS=1 for hosts with private disks — the
+    counterpart of the reference's `save_ckpt_at_every_host` flag
+    (reference allenact_trainer.py:57,70).
+    """
+    path = os.path.abspath(path)
+    ckpt_dir = os.path.join(path, f"step_{step}")
+    if jax.process_count() > 1 and not os.environ.get("SAFEVLA_SAVE_ON_ALL_HOSTS"):
+        if jax.process_index() != 0:
+            return ckpt_dir
+        # materialize to host numpy first: train states are replicated, so
+        # host 0 holds every value; an uncoordinated save of device arrays
+        # would instead enter Orbax's all-host protocol and deadlock
+        import numpy as np
+
+        state = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, state
+        )
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    ckpt_dir = os.path.join(path, f"step_{step}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(ckpt_dir, state, force=True)
     return ckpt_dir
