@@ -222,7 +222,17 @@ def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
             obj = getattr(obj, p)
         leaf = parts[-1]
         if not hasattr(obj, leaf):
-            raise AttributeError(f"Unknown config key: {key}")
+            import difflib
+
+            candidates = []
+            for sec_name, sec in vars(cfg).items():
+                if hasattr(sec, "__dataclass_fields__"):
+                    candidates += [f"{sec_name}.{f}" for f in vars(sec)]
+                else:
+                    candidates.append(sec_name)
+            hint = difflib.get_close_matches(key, candidates, n=3, cutoff=0.5)
+            suffix = f" (did you mean: {', '.join(hint)}?)" if hint else ""
+            raise AttributeError(f"Unknown config key: {key}{suffix}")
         setattr(obj, leaf, _parse_value(raw, getattr(obj, leaf)))
     return cfg
 

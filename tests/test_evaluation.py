@@ -139,3 +139,57 @@ def test_greedy_agent_is_deterministic(tiny_model_cfg):
         return acts
 
     assert run() == run()
+
+
+def test_evaluator_records_videos_and_top_down(tiny_model_cfg, tmp_path):
+    from safevla_tpu.evaluation.agent import InferenceAgent
+    from safevla_tpu.evaluation.evaluator import BatchedEvaluator
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+
+    cfg = Config()
+    cfg.model = tiny_model_cfg
+    cfg.train.max_steps = tiny_model_cfg.max_steps
+    hw = tiny_model_cfg.image_size
+
+    def factory_builder(tasks_queue):
+        def factory(stream_id):
+            controller = FakeController(seed=0, image_height=hw[0], image_width=hw[1])
+            return MultiTaskSampler(
+                mode="val",
+                task_args=dict(
+                    sensors=default_train_sensors(rgb_height=hw[0], rgb_width=hw[1]),
+                    max_steps=10,
+                    action_names=ALL_STRETCH_ACTIONS,
+                    reward_config=None,
+                ),
+                houses=[{"rooms": [{}, {}]}],
+                house_inds=[0],
+                controller_args={"seed": 0, "image_height": hw[0], "image_width": hw[1]},
+                controller_type=FakeController,
+                task_spec_sampler=TaskSpecQueue(
+                    tasks_queue, convert=normalized_eval_sample_to_task_spec, timeout=0.2
+                ),
+                controller=controller,
+                visualize=stream_id == 0,  # stream 0 renders top-down frames
+            )
+
+        return factory
+
+    video_dir = str(tmp_path / "videos")
+    evaluator = BatchedEvaluator(
+        cfg, factory_builder, num_streams=2, num_workers=0,
+        video_dir=video_dir, video_every=1,
+    )
+    import jax
+    import os
+
+    policy = SafeVLAPolicy(cfg.model)
+    params = policy.init_params(jax.random.PRNGKey(0))
+    agent = InferenceAgent(cfg, params, num_streams=2, mode="greedy", seed=123)
+    results = evaluator.evaluate(agent, _eval_samples(4), "ObjectNavType")
+    assert results["num_episodes"] == 4
+    files = os.listdir(video_dir)
+    assert any("topdown" in f for f in files), files  # overhead path renders
+    assert any("topdown" not in f for f in files), files  # episode videos
+    # top-down paths surfaced in the per-episode table rows come from stream 0
+    assert all("top_down_frame" not in r for r in results["safety_table"])
