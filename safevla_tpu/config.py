@@ -132,6 +132,8 @@ class TrainConfig:
         ]
     )
     use_data_augmentation: bool = True
+    # torchvision transform list version (reference transformation_util.py:12)
+    augmentation_version: str = "v2"
     collision_penalty: float = 0.0
 
 

@@ -101,7 +101,9 @@ class InferenceAgent:
         if self.test_augmentation:
             if self._aug_steps % self.cfg.train.max_steps == 0:
                 self._aug_key, sub = jax.random.split(self._aug_key)
-                self._aug_params = sample_augment_params(sub)
+                self._aug_params = sample_augment_params(
+                    sub, version=self.cfg.train.augmentation_version
+                )
             self._aug_steps += 1
         self.rng, sub = jax.random.split(self.rng)
         action, logits, v, cv, self.state = self._step_impl(

@@ -355,7 +355,9 @@ class RolloutRunner:
             # one batch == one step across all groups
             if self._aug_steps % (self.cfg.train.max_steps * self.n_groups) == 0:
                 self._aug_key, sub = jax.random.split(self._aug_key)
-                self._aug_params = sample_augment_params(sub)
+                self._aug_params = sample_augment_params(
+                    sub, version=self.cfg.train.augmentation_version
+                )
             self._aug_steps += 1
         with self.timer.section("dispatch"):
             action, v, cv, self.states[g], storage = self._jit_rollout_step(

@@ -251,7 +251,7 @@ class OfflineTrainer:
             n = 0
             self._aug_key, sub = jax.random.split(self._aug_key)
             aug = (
-                sample_augment_params(sub)
+                sample_augment_params(sub, version=cfg.train.augmentation_version)
                 if cfg.train.use_data_augmentation
                 else identity_augment_params()
             )
