@@ -84,6 +84,7 @@ def main(argv=None):
             log_fn=lambda m, s: logger.log(m, s, prefix="offline"),
             curriculum_fn=curriculum,
             output_dir=out,
+            logger=logger,
         )
     finally:
         logger.finish()

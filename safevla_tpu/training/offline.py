@@ -119,6 +119,42 @@ class OfflineTrainer:
         return restored
 
     # ------------------------------------------------------------------
+    def sample_prediction_rows(
+        self, host_batch, preds, out_dir: str, max_rows: int = 10
+    ):
+        """Per-sample (task, video, gt actions, predicted actions) rows for a
+        wandb table (reference train_pl.py:107-142 log_videos)."""
+        from safevla_tpu.constants import ALL_STRETCH_ACTIONS
+        from safevla_tpu.utils.video import save_video
+
+        def names(idxs, valid):
+            return [
+                ALL_STRETCH_ACTIONS[i] if 0 <= i < len(ALL_STRETCH_ACTIONS) else str(i)
+                for i, v in zip(idxs, valid)
+                if v
+            ]
+
+        rows = []
+        for b in range(min(max_rows, len(host_batch["instructions"]))):
+            valid = host_batch["actions"][b] != -1
+            frames = np.concatenate(
+                [host_batch["rgb_nav"][b][valid], host_batch["rgb_manip"][b][valid]],
+                axis=2,
+            )
+            path = save_video(
+                list(frames), os.path.join(out_dir, "samples", f"sample_{b}.mp4")
+            )
+            rows.append(
+                [
+                    host_batch["instructions"][b],
+                    path,
+                    names(host_batch["actions"][b], valid),
+                    names(preds[b], valid),
+                ]
+            )
+        return rows
+
+    # ------------------------------------------------------------------
     def _forward(self, tower_params, frozen, batch, aug):
         cfg = self.cfg
         b, t = batch["rgb_nav"].shape[:2]
@@ -231,6 +267,7 @@ class OfflineTrainer:
         log_fn: Optional[Callable[[Dict[str, Any], int], None]] = None,
         curriculum_fn: Optional[Callable[[int], None]] = None,
         output_dir: Optional[str] = None,
+        logger=None,
     ) -> BCTrainState:
         cfg = self.cfg
         out_dir_early = output_dir or os.path.join(cfg.train.output_dir, "offline")
@@ -265,17 +302,29 @@ class OfflineTrainer:
 
             if val_batches is not None:
                 preds_all, targets_all, losses = [], [], []
+                sample_rows = None
                 for host_batch in val_batches():
                     batch = self.prepare_batch(host_batch, state.frozen_params)
                     ev = self._jit_eval(state, batch)
                     preds_all.append(np.asarray(ev["preds"]))
                     targets_all.append(np.asarray(batch["actions"]))
                     losses.append(float(ev["val_loss"]))
+                    if sample_rows is None and logger is not None:
+                        sample_rows = self.sample_prediction_rows(
+                            host_batch, preds_all[-1], out_dir
+                        )
                 if losses:
                     preds = np.concatenate([p.ravel() for p in preds_all])
                     targets = np.concatenate([t.ravel() for t in targets_all])
                     log["val_loss"] = float(np.mean(losses))
                     log.update(self.per_action_f1(preds, targets))
+                if sample_rows and hasattr(logger, "log_table"):
+                    logger.log_table(
+                        f"video_action_table/val/{int(state.step)}",
+                        ["Task", "Video", "Actions_gt", "Actions_pred"],
+                        sample_rows,
+                        int(state.step),
+                    )
 
             state = state._replace(epoch=state.epoch + 1)
             log_fn(log, int(state.step))
