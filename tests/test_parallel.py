@@ -90,3 +90,34 @@ def test_offline_trainer_sharded(tiny_model_cfg):
 
     state2, metrics = trainer._jit_step(state, batch, identity_augment_params())
     assert np.isfinite(float(metrics["bc_loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_learner_update_on_2d_mesh(tiny_model_cfg):
+    """The reserved mdl axis composes with dp: a (dp=4, mdl=2) mesh runs the
+    learner update (params replicated over mdl) and matches single-device."""
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+    from tests.test_learner import _batch
+
+    mesh = make_mesh(dp=4, mdl=2)
+    cfg = Config()
+    cfg.model = tiny_model_cfg
+    cfg.ppo.update_repeats = 1
+    policy = SafeVLAPolicy(cfg.model)
+    learner = Learner(policy, cfg, mesh=mesh)
+    ts = learner.init(jax.random.PRNGKey(0))
+
+    batch = _batch(cfg.model, B=16, T=6)
+    batch = shard_batch(mesh, batch)
+    ts2, metrics = learner.update(ts, batch, 3.0, 1)
+    assert np.isfinite(float(metrics["total"]))
+
+    learner_single = Learner(SafeVLAPolicy(cfg.model), cfg)
+    host_batch = jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), jax.devices()[0]), batch
+    )
+    ts3, _ = learner_single.update(ts, host_batch, 3.0, 1)
+    a = np.asarray(jax.tree.leaves(ts2.tower_params)[0])
+    b = np.asarray(jax.tree.leaves(ts3.tower_params)[0])
+    np.testing.assert_allclose(a, b, atol=2e-5)
