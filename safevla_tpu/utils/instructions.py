@@ -161,6 +161,16 @@ def room_nav(p):
     )
 
 
+def go_to_point(p):
+    """reference task_spec_to_instruction.py:391-393."""
+    return normalize(f"{random.choice(GOTO_POINT_VERBS)} point")
+
+
+def go_near_point(p):
+    """reference task_spec_to_instruction.py:396-398."""
+    return normalize(f"{random.choice(GOTO_POINT_VERBS)} object")
+
+
 REGISTERED_INSTRUCTION_TYPES = dict(
     PickupType=pickup_type,
     FetchType=fetch_type,
@@ -175,6 +185,11 @@ REGISTERED_INSTRUCTION_TYPES = dict(
     ObjectNavDescription=object_nav_description,
     RoomNav=room_nav,
     ObjectNavMulti=object_nav_multi,
+    # BPE variants share the base templates (reference l.223-226, 260-277)
+    BPEObjectNavType=object_nav_type,
+    BPEObjectNavMulti=object_nav_multi,
+    GoToPoint=go_to_point,
+    GoNearPoint=go_near_point,
 )
 
 

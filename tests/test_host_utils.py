@@ -220,3 +220,17 @@ def test_detector_bbox_sensor_custom():
 
     box = DetectorBBoxSensor(Det()).get_observation(_SegEnv(), _Task())
     assert list(box[:5]) == [1, 2, 11, 22, 200]
+
+
+def test_every_registered_task_type_has_an_instruction_template():
+    import random
+
+    from safevla_tpu.types import REGISTERED_TASK_PARAMS
+    from safevla_tpu.utils.instructions import REGISTERED_INSTRUCTION_TYPES
+
+    random.seed(0)
+    missing = [t for t in REGISTERED_TASK_PARAMS if t not in REGISTERED_INSTRUCTION_TYPES]
+    assert not missing, f"task types without instruction templates: {missing}"
+    # point-goal templates take no object params
+    assert REGISTERED_INSTRUCTION_TYPES["GoToPoint"]({}).endswith("point")
+    assert REGISTERED_INSTRUCTION_TYPES["GoNearPoint"]({}).endswith("object")
