@@ -144,6 +144,9 @@ class InferenceAgent:
         policy = SafeVLAPolicy(cfg.model)
         params = jax.jit(policy.init_params)(jax.random.PRNGKey(seed))
         if ckpt_path:
+            from safevla_tpu.utils.checkpoint import resolve_checkpoint_path
+
+            ckpt_path = resolve_checkpoint_path(ckpt_path)
             if os.path.isdir(ckpt_path):
                 from safevla_tpu.utils.checkpoint import restore_checkpoint
 

@@ -87,13 +87,18 @@ class OnlineTrainer:
     def init_state(self) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         state = self.learner.init(rng)
+        from safevla_tpu.utils.checkpoint import resolve_checkpoint_path
+
         if self.cfg.train.resume_ckpt_path:
-            state = restore_checkpoint(self.cfg.train.resume_ckpt_path, state)
-            print(f"resumed from {self.cfg.train.resume_ckpt_path}")
+            path = resolve_checkpoint_path(self.cfg.train.resume_ckpt_path)
+            state = restore_checkpoint(path, state)
+            print(f"resumed from {path}")
         elif self.cfg.train.il_ckpt_path:
             from safevla_tpu.models.convert import load_reference_checkpoint
 
-            state = load_reference_checkpoint(self.cfg.train.il_ckpt_path, state)
+            state = load_reference_checkpoint(
+                resolve_checkpoint_path(self.cfg.train.il_ckpt_path), state
+            )
         else:
             auto = latest_checkpoint(self.output_dir)
             if auto:

@@ -66,3 +66,27 @@ def restore_checkpoint(ckpt_dir: str, target: Any) -> Any:
 
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(os.path.abspath(ckpt_dir), target)
+
+
+def resolve_checkpoint_path(path: str, download_dir: str = "ckpts") -> str:
+    """Resolve a checkpoint reference to a local path.
+
+    Local paths pass through. `wandb://entity/project/artifact:alias` fetches
+    the artifact and returns the directory (the reference fetches run
+    checkpoints the same way — allenact_dino_transformer.py:299-324,
+    train_pl.py:423-431). Requires the wandb package and network access.
+    """
+    if not path.startswith("wandb://"):
+        return path
+    try:
+        import wandb
+    except ImportError as e:  # pragma: no cover - env without wandb
+        raise RuntimeError(
+            f"checkpoint {path!r} is a wandb artifact but the wandb package "
+            "is not installed; download it manually or install wandb"
+        ) from e
+    artifact_ref = path[len("wandb://"):]
+    api = wandb.Api()
+    artifact = api.artifact(artifact_ref)
+    os.makedirs(download_dir, exist_ok=True)
+    return artifact.download(download_dir)
