@@ -66,8 +66,9 @@ def main():
     learner = Learner(policy, cfg)
     ts = learner.init(jax.random.PRNGKey(0))
 
+    overlap = int(os.environ.get("BENCH_OVERLAP_GROUPS", "4"))
     pool = EnvPool(factory, num_streams=B, num_workers=num_workers)
-    runner = RolloutRunner(policy, cfg, pool, seed=0)
+    runner = RolloutRunner(policy, cfg, pool, seed=0, overlap_groups=overlap)
 
     if use_async:
         # async rollout/update pipeline: window k-1's PPO epochs interleave
@@ -118,13 +119,13 @@ def main():
             jax.block_until_ready(metrics["total"])
             return ts_out, stats
 
-    # warmup (compiles rollout policy_step, text encoder, update)
+    # warmup (compiles rollout policy_step, text encoder, update); the second
+    # pass compiles the window-boundary splice (sync) / epoch programs (async)
+    # so no compilation lands inside the timed region
     t0 = time.time()
     ts, _ = iteration(ts)
+    ts, _ = iteration(ts)
     warmup = time.time() - t0
-    if use_async:  # second warmup pass compiles the epoch programs
-        ts, _ = iteration(ts)
-        warmup = time.time() - t0
     print(f"# warmup (compile) {warmup:.1f}s async={use_async}", file=sys.stderr)
     runner.timer.reset()  # drop compile-polluted timings
 

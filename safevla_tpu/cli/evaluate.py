@@ -109,6 +109,10 @@ def main(argv=None):
         mode=args.mode,
         seed=cfg.eval.seed,
         test_augmentation=cfg.eval.test_augmentation,
+        max_episode_steps=max_len,
+        # benchmark-protocol eval is a parity surface: refuse the hash
+        # tokenizer unless explicitly running against fake environments
+        require_exact_tokenizer=not args.fake_env,
     )
     evaluator = BatchedEvaluator(
         cfg,

@@ -36,8 +36,19 @@ class InferenceAgent:
         mode: str = "greedy",
         seed: int = 123,
         test_augmentation: bool = True,
+        max_episode_steps: Optional[int] = None,
+        require_exact_tokenizer: bool = False,
     ):
         assert mode in ("greedy", "sample")
+        if max_episode_steps and max_episode_steps > cfg.model.max_steps:
+            # the KV cache must cover the longest eval episode or the decode
+            # position silently wraps mid-episode (train default 500 <
+            # 600/1000-step eval caps). Guarded HERE so no caller can bypass.
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, max_steps=max_episode_steps)
+            )
         self.cfg = cfg
         self.policy = SafeVLAPolicy(cfg.model)
         self.params = params
@@ -45,7 +56,9 @@ class InferenceAgent:
         self.mode = mode
         self.rng = jax.random.PRNGKey(seed)
         self.tokenizer = InstructionTokenizer(
-            cfg.model.text_backbone, cfg.model.text_max_tokens
+            cfg.model.text_backbone,
+            cfg.model.text_max_tokens,
+            require_exact=require_exact_tokenizer,
         )
         self.test_augmentation = test_augmentation
         self._aug_key = jax.random.PRNGKey(seed + 7)
@@ -138,6 +151,8 @@ class InferenceAgent:
         mode: str = "greedy",
         seed: int = 123,
         test_augmentation: bool = True,
+        max_episode_steps: Optional[int] = None,
+        require_exact_tokenizer: bool = False,
     ) -> "InferenceAgent":
         """Checkpoint auto-detection: Orbax dir | torch file (3 reference
         formats) | None (random init)."""
@@ -150,34 +165,17 @@ class InferenceAgent:
             if os.path.isdir(ckpt_path):
                 from safevla_tpu.utils.checkpoint import restore_checkpoint
 
-                class _P:  # restore only the params subtree
-                    pass
-
                 restored = restore_checkpoint(ckpt_path, {"towers": params["towers"]})
                 params = {**params, "towers": restored["towers"]}
             else:
-                from safevla_tpu.models.convert import (
-                    import_tower_state_dict,
-                    normalize_reference_checkpoint,
-                    split_tower_state_dicts,
-                )
-                import torch
+                from safevla_tpu.models.convert import import_stacked_towers_from_torch
 
-                ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-                flat = normalize_reference_checkpoint(ckpt)
-                towers = split_tower_state_dicts(flat)
-                actor = import_tower_state_dict(towers["actor"])
-                critic = import_tower_state_dict(towers["critic"]) if towers["critic"] else actor
-                c_critic = (
-                    import_tower_state_dict(towers["c_critic"])
-                    if towers["c_critic"]
-                    else actor
-                )
-                stacked = jax.tree.map(
-                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                    actor,
-                    critic,
-                    c_critic,
+                stacked = import_stacked_towers_from_torch(
+                    ckpt_path, cfg=cfg, num_towers=cfg.model.num_towers
                 )
                 params = {**params, "towers": stacked}
-        return cls(cfg, params, num_streams, mode, seed, test_augmentation)
+        return cls(
+            cfg, params, num_streams, mode, seed, test_augmentation,
+            max_episode_steps=max_episode_steps,
+            require_exact_tokenizer=require_exact_tokenizer,
+        )

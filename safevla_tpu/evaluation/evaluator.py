@@ -99,6 +99,14 @@ class BatchedEvaluator:
         active = np.array([s is not None for s in pool.initial_steps()])
         steps = pool.initial_steps()
         max_len = MAX_EPISODE_LEN_PER_TASK.get(task_type, 600)
+        if agent.cfg.model.max_steps < max_len:
+            pool.close()
+            raise ValueError(
+                f"agent KV cache covers {agent.cfg.model.max_steps} steps but "
+                f"{task_type} eval episodes run up to {max_len} — build the "
+                f"agent with max_episode_steps={max_len} (the decode position "
+                "would silently wrap mid-episode)"
+            )
 
         agent.set_instructions(
             [s.instruction if s else "" for s in steps]

@@ -194,37 +194,58 @@ def normalize_reference_checkpoint(ckpt: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def load_reference_checkpoint(path: str, train_state, cfg=None):
-    """Load a torch SafeVLA checkpoint into a TrainState (tower params only).
+def _tower_import_kwargs(cfg) -> Dict[str, Any]:
+    """Importer layout must follow the run's model config, not the defaults —
+    e.g. critic_type="discrete" has a Sequential critic head, and deeper
+    decoders/combiners have more layers to map."""
+    if cfg is None:
+        return {}
+    m = getattr(cfg, "model", cfg)
+    return dict(
+        num_tx_layers=m.num_tx_layers,
+        combiner_layers=m.combiner_layers,
+        critic_type=m.critic_type,
+        use_manipulation_camera=m.use_manipulation_camera,
+    )
 
-    Missing critic towers are initialized from the actor tower.
-    """
+
+def import_stacked_towers_from_torch(path: str, cfg=None, num_towers: int = 3):
+    """Torch SafeVLA checkpoint (any of the 3 reference container formats) ->
+    stacked tower params (towers, ...). Missing critic towers are initialized
+    from the actor tower (the reference loads the IL policy into every tower
+    at RL start)."""
     import torch
-    import jax.numpy as jnp
     import jax
+    import jax.numpy as jnp
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     flat = normalize_reference_checkpoint(ckpt)
     towers = split_tower_state_dicts(flat)
+    kw = _tower_import_kwargs(cfg)
 
-    actor = import_tower_state_dict(towers["actor"])
+    actor = import_tower_state_dict(towers["actor"], **kw)
     critic = (
-        import_tower_state_dict(towers["critic"]) if towers["critic"] else actor
+        import_tower_state_dict(towers["critic"], **kw) if towers["critic"] else actor
     )
     c_critic = (
-        import_tower_state_dict(towers["c_critic"]) if towers["c_critic"] else actor
+        import_tower_state_dict(towers["c_critic"], **kw)
+        if towers["c_critic"]
+        else actor
     )
+    if num_towers == 3:
+        return jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), actor, critic, c_critic
+        )
+    return jax.tree.map(lambda x: jnp.asarray(x)[None], actor)
+
+
+def load_reference_checkpoint(path: str, train_state, cfg=None):
+    """Load a torch SafeVLA checkpoint into a TrainState (tower params only)."""
+    import jax
 
     template = train_state.tower_params
-
-    def stack(*trees):
-        return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
-
     num_towers = jax.tree.leaves(template)[0].shape[0]
-    if num_towers == 3:
-        stacked = stack(actor, critic, c_critic)
-    else:
-        stacked = jax.tree.map(lambda x: jnp.asarray(x)[None], actor)
+    stacked = import_stacked_towers_from_torch(path, cfg=cfg, num_towers=num_towers)
 
     # shape-check against the template
     def check(a, b):

@@ -39,8 +39,20 @@ class _HashTokenizer:
         return ids + [self.eos_token_id]
 
 
+_warned_fallback = False
+
+
 class InstructionTokenizer:
-    def __init__(self, backbone: str = "t5-small", max_tokens: int = 32):
+    def __init__(
+        self,
+        backbone: str = "t5-small",
+        max_tokens: int = 32,
+        require_exact: bool = False,
+    ):
+        """require_exact: parity-sensitive callers (benchmark eval, golden
+        recording) set this so the hash fallback is a hard error instead of a
+        silent degradation — hash tokens can never be bit-comparable to the
+        reference's HF T5 tokenization."""
         self.max_tokens = max_tokens
         self._tok = None
         try:  # pragma: no cover - depends on local HF cache
@@ -51,6 +63,26 @@ class InstructionTokenizer:
             self._tok = None
         self._fallback = _HashTokenizer()
         self.using_fallback = self._tok is None
+        if self.using_fallback:
+            if require_exact:
+                raise RuntimeError(
+                    f"The {backbone} tokenizer files are not available locally "
+                    "and this code path requires exact (reference-comparable) "
+                    "tokenization. Fetch the tokenizer (e.g. "
+                    "scripts/download_assets.py) or drop require_exact."
+                )
+            global _warned_fallback
+            if not _warned_fallback:  # once per process, loudly
+                import warnings
+
+                warnings.warn(
+                    f"{backbone} tokenizer files not found locally — using the "
+                    "deterministic HASH tokenizer. Model outputs will NOT be "
+                    "comparable to the reference (fine for tests/benches).",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                _warned_fallback = True
 
     def encode_batch(self, texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
         """-> (tokens (B, L) int32, mask (B, L) bool), fixed L=max_tokens."""

@@ -175,7 +175,15 @@ class EnvPool:
         shm_slot_bytes: int = 2 * 1024 * 1024,
         shm_slots: int = 8,
         max_restarts: int = 10,
+        step_timeout_s: Optional[float] = 300.0,
+        startup_timeout_s: Optional[float] = 600.0,
     ):
+        # liveness defense: a worker that HANGS (alive but unresponsive — the
+        # classic stuck-Unity failure the reference guards with SIGALRM,
+        # online_evaluator.py:43-57, and a 1200s THOR server timeout) is
+        # killed and restarted after step_timeout_s. None disables.
+        self.step_timeout_s = step_timeout_s
+        self.startup_timeout_s = startup_timeout_s
         self.max_restarts = max_restarts
         self.restarts = 0
         self.num_streams = num_streams
@@ -257,6 +265,12 @@ class EnvPool:
         p.start()
         self._conns[i] = parent
         self._procs[i] = p
+        if self.startup_timeout_s is not None and not parent.poll(self.startup_timeout_s):
+            p.kill()
+            raise RuntimeError(
+                f"env worker {i} hung at restart (no ready message within "
+                f"{self.startup_timeout_s}s)"
+            )
         tag, first = parent.recv()
         if tag == "crash":
             raise RuntimeError(f"env worker {i} crashed again at restart: {first[1]}")
@@ -267,6 +281,24 @@ class EnvPool:
 
     def _recv_step(self, i: int) -> EnvStep:
         try:
+            if self.step_timeout_s is not None and not self._conns[i].poll(
+                self.step_timeout_s
+            ):
+                # worker is alive but unresponsive: kill it so the pipe EOFs
+                # deterministically, then restart
+                import sys
+
+                print(
+                    f"env worker {i} hung (> {self.step_timeout_s}s without a "
+                    f"step result); killing and restarting "
+                    f"({self.restarts + 1}/{self.max_restarts})",
+                    file=sys.stderr,
+                )
+                try:
+                    self._procs[i].kill()
+                except Exception:
+                    pass
+                return self._restart_worker(i)
             tag, payload = self._conns[i].recv()
         except (EOFError, ConnectionResetError):
             tag, payload = "crash", ("worker pipe closed", "pipe EOF")

@@ -73,7 +73,9 @@ class DeviceFrameBank:
 
     @staticmethod
     def frame_key(frame: np.ndarray) -> int:
-        return hash(frame[::16, ::16, :].tobytes())
+        # full-frame key: two distinct frames must never alias to one slot
+        # (a subsampled key silently fed the policy the wrong observation)
+        return hash(frame.tobytes())
 
     def get_slot(self, frame: np.ndarray) -> int:
         key = self.frame_key(frame)
@@ -105,6 +107,7 @@ class RolloutRunner:
         episode_cost_window: int = 100,
         frame_bank_slots: int = 96,
         overlap_groups: int = 2,
+        use_frame_bank: Optional[bool] = None,
     ):
         self.policy = policy
         self.cfg = cfg
@@ -125,6 +128,15 @@ class RolloutRunner:
         self._aug_steps = 0
         self._global_step = 0
         self.frame_bank_slots = frame_bank_slots
+        # the content-addressed bank pays off when simulators repeat frames
+        # (static scenes, benches). Real sims emit unique frames every step:
+        # there the hash is pure overhead, so the bank can be disabled — each
+        # group-step then uploads its 2G frames directly.
+        if use_frame_bank is None:
+            import os as _os
+
+            use_frame_bank = _os.environ.get("SAFEVLA_FRAME_BANK", "1") != "0"
+        self.use_frame_bank = use_frame_bank
         self.frame_bank: Optional[DeviceFrameBank] = None
 
         L = cfg.model.text_max_tokens
@@ -259,23 +271,32 @@ class RolloutRunner:
         new_episode = np.array([bool(s.new_episode) or first for s in steps], bool)
         lo = self._lo(g)
 
-        if self.frame_bank is None:
-            shape = obs[0]["rgb_raw"].shape
-            self.frame_bank = DeviceFrameBank(self.frame_bank_slots, shape)
-
-        nav_ids = np.array(
-            [self.frame_bank.get_slot(o["rgb_raw"]) for o in obs], np.int32
-        )
-        manip_ids = np.array(
-            [
-                self.frame_bank.get_slot(o.get("manipulation_rgb_raw", o["rgb_raw"]))
-                for o in obs
-            ],
-            np.int32,
-        )
+        if self.use_frame_bank:
+            if self.frame_bank is None:
+                shape = obs[0]["rgb_raw"].shape
+                self.frame_bank = DeviceFrameBank(self.frame_bank_slots, shape)
+            nav_ids = np.array(
+                [self.frame_bank.get_slot(o["rgb_raw"]) for o in obs], np.int32
+            )
+            manip_ids = np.array(
+                [
+                    self.frame_bank.get_slot(o.get("manipulation_rgb_raw", o["rgb_raw"]))
+                    for o in obs
+                ],
+                np.int32,
+            )
+            frames = None
+        else:
+            nav_ids = np.arange(len(obs), dtype=np.int32)
+            manip_ids = nav_ids + len(obs)
+            frames = np.stack(
+                [o["rgb_raw"] for o in obs]
+                + [o.get("manipulation_rgb_raw", o["rgb_raw"]) for o in obs]
+            )
         cur = {
             "nav_ids": nav_ids,
             "manip_ids": manip_ids,
+            "frames": frames,
             "time_step": np.array([int(o["time_step"]) for o in obs], np.int32),
             "traj_idx": np.array(
                 [int(o["traj_index"]) % self.cfg.model.traj_max_idx for o in obs],
@@ -364,7 +385,7 @@ class RolloutRunner:
                 self._params_cache,
                 self.states[g],
                 storage,
-                self.frame_bank.bank,
+                self._bank_for(g),
                 jnp.asarray(self._pack(g, t)),
                 self._aug_params,
             )
@@ -374,6 +395,11 @@ class RolloutRunner:
                 pass
         self._global_step += 1
         return (action, v, cv), storage
+
+    def _bank_for(self, g: int):
+        if self.use_frame_bank:
+            return self.frame_bank.bank
+        return jnp.asarray(self._cur[g]["frames"])
 
     def _env_step_group(
         self, g: int, t: int, actions_host: np.ndarray, rewards, costs
@@ -478,7 +504,7 @@ class RolloutRunner:
                     self._params_cache,
                     self.states[g],
                     scratch,
-                    self.frame_bank.bank,
+                    self._bank_for(g),
                     jnp.asarray(pk),
                     self._aug_params,
                 )
@@ -519,8 +545,12 @@ class RolloutRunner:
             if self.episode_costs
             else 0.0,
             "episodes_completed": len(self.episode_metrics),
-            "frame_bank_hit_rate": self.frame_bank.hits
-            / max(self.frame_bank.hits + self.frame_bank.misses, 1),
+            "frame_bank_hit_rate": (
+                self.frame_bank.hits
+                / max(self.frame_bank.hits + self.frame_bank.misses, 1)
+                if self.frame_bank is not None
+                else 0.0
+            ),
             **self.timer.summary(),
         }
         return batch, stats

@@ -97,7 +97,9 @@ class OnlineTrainer:
             from safevla_tpu.models.convert import load_reference_checkpoint
 
             state = load_reference_checkpoint(
-                resolve_checkpoint_path(self.cfg.train.il_ckpt_path), state
+                resolve_checkpoint_path(self.cfg.train.il_ckpt_path),
+                state,
+                cfg=self.cfg,
             )
         else:
             auto = latest_checkpoint(self.output_dir)
@@ -188,12 +190,14 @@ class OnlineTrainer:
         # dispatch epoch i of the previous window after time step points[i]
         points = sorted({((i + 1) * T) // (reps + 1) for i in range(reps)})
 
-        prev = None  # (mb, lagrange, lam, stage_id) of the window being trained
+        # (mb, lagrange, lam, stage_id, epoch_fn) of the window being trained.
+        # The epoch fn is captured at prepare time so a window straddling a
+        # stage transition still trains under ITS OWN stage's loss weights.
+        prev = None
         act_params = {"towers": ts.tower_params, **ts.frozen_params}
 
         while int(ts.step) < total:
             stage = self.learner.stage_for_step(int(ts.step))
-            prepare, epoch = self.learner.split_update_fns(stage)
 
             pend = {"tp": ts.tower_params, "opt": ts.opt_state, "i": 0, "m": None}
 
@@ -201,8 +205,8 @@ class OnlineTrainer:
                 if prev is None or pend["i"] >= reps:
                     return
                 if t in points:
-                    mb, _, lam, _ = prev
-                    pend["tp"], pend["opt"], pend["m"] = epoch(
+                    mb, _, lam, _, epoch_fn = prev
+                    pend["tp"], pend["opt"], pend["m"] = epoch_fn(
                         pend["tp"], pend["opt"], ts.frozen_params, mb, lam
                     )
                     pend["i"] += 1
@@ -210,9 +214,9 @@ class OnlineTrainer:
             batch, roll_stats = self.runner.collect(act_params, T, interleave_fn=interleave)
 
             if prev is not None:
-                mb, lagrange, lam, prev_stage = prev
+                mb, lagrange, lam, prev_stage, epoch_fn = prev
                 while pend["i"] < reps:  # finish any undispatched epochs
-                    pend["tp"], pend["opt"], pend["m"] = epoch(
+                    pend["tp"], pend["opt"], pend["m"] = epoch_fn(
                         pend["tp"], pend["opt"], ts.frozen_params, mb, lam
                     )
                     pend["i"] += 1
@@ -239,10 +243,11 @@ class OnlineTrainer:
                     last_save = step_now
                     print(f"saved checkpoint {path}")
 
+            prepare, epoch = self.learner.split_update_fns(stage)
             mb, lagrange, lam = prepare(
                 ts, batch, jnp.asarray(roll_stats["mean_episode_cost"], jnp.float32)
             )
-            prev = (mb, lagrange, lam, stage)
+            prev = (mb, lagrange, lam, stage, epoch)
 
             if max_wall_seconds and time.time() - t_start > max_wall_seconds:
                 break

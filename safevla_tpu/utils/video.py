@@ -14,25 +14,68 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-# 5x7 bitmap glyphs for the tiny HUD font
-_GLYPHS = {
-    c: i
-    for i, c in enumerate("0123456789abcdefghijklmnopqrstuvwxyz .:-/+")
+# Real 5x7 bitmap font for the HUD (the reference renders text with
+# Arial.ttf via PIL, visualization_utils.py:231+; a classic 5x7 terminal
+# font keeps this dependency-free while remaining actually readable).
+_GLYPH_ART = {
+    "0": ".###. #...# #..## #.#.# ##..# #...# .###.",
+    "1": "..#.. .##.. ..#.. ..#.. ..#.. ..#.. .###.",
+    "2": ".###. #...# ....# ...#. ..#.. .#... #####",
+    "3": ".###. #...# ....# ..##. ....# #...# .###.",
+    "4": "...#. ..##. .#.#. #..#. ##### ...#. ...#.",
+    "5": "##### #.... ####. ....# ....# #...# .###.",
+    "6": "..##. .#... #.... ####. #...# #...# .###.",
+    "7": "##### ....# ...#. ..#.. .#... .#... .#...",
+    "8": ".###. #...# #...# .###. #...# #...# .###.",
+    "9": ".###. #...# #...# .#### ....# ...#. .##..",
+    "a": "..... ..... .###. ....# .#### #...# .####",
+    "b": "#.... #.... ####. #...# #...# #...# ####.",
+    "c": "..... ..... .###. #.... #.... #...# .###.",
+    "d": "....# ....# .#### #...# #...# #...# .####",
+    "e": "..... ..... .###. #...# ##### #.... .###.",
+    "f": "..##. .#..# .#... ###.. .#... .#... .#...",
+    "g": "..... .#### #...# #...# .#### ....# .###.",
+    "h": "#.... #.... ####. #...# #...# #...# #...#",
+    "i": "..#.. ..... .##.. ..#.. ..#.. ..#.. .###.",
+    "j": "...#. ..... ..##. ...#. ...#. #..#. .##..",
+    "k": "#.... #.... #..#. #.#.. ##... #.#.. #..#.",
+    "l": ".##.. ..#.. ..#.. ..#.. ..#.. ..#.. .###.",
+    "m": "..... ..... ##.#. #.#.# #.#.# #.#.# #...#",
+    "n": "..... ..... ####. #...# #...# #...# #...#",
+    "o": "..... ..... .###. #...# #...# #...# .###.",
+    "p": "..... ####. #...# #...# ####. #.... #....",
+    "q": "..... .#### #...# #...# .#### ....# ....#",
+    "r": "..... ..... #.##. ##..# #.... #.... #....",
+    "s": "..... ..... .#### #.... .###. ....# ####.",
+    "t": ".#... .#... ###.. .#... .#... .#..# ..##.",
+    "u": "..... ..... #...# #...# #...# #..## .##.#",
+    "v": "..... ..... #...# #...# #...# .#.#. ..#..",
+    "w": "..... ..... #...# #.#.# #.#.# #.#.# .#.#.",
+    "x": "..... ..... #...# .#.#. ..#.. .#.#. #...#",
+    "y": "..... #...# #...# .#### ....# #...# .###.",
+    "z": "..... ..... ##### ...#. ..#.. .#... #####",
+    " ": "..... ..... ..... ..... ..... ..... .....",
+    ".": "..... ..... ..... ..... ..... .##.. .##..",
+    ":": "..... .##.. .##.. ..... .##.. .##.. .....",
+    "-": "..... ..... ..... ##### ..... ..... .....",
+    "/": "....# ...#. ...#. ..#.. .#... .#... #....",
+    "+": "..... ..#.. ..#.. ##### ..#.. ..#.. .....",
 }
+_GLYPHS = {c: i for i, c in enumerate(_GLYPH_ART)}
 _FONT = None
 
 
 def _font() -> np.ndarray:
-    """Lazy 5x7 font bitmap (procedural, deterministic)."""
+    """Lazy (n_glyphs, 7, 5) boolean bitmap decoded from the glyph art."""
     global _FONT
     if _FONT is None:
-        rng = np.random.default_rng(42)
-        n = len(_GLYPHS)
-        # readable-enough procedural glyphs: stable random masks per char
-        _FONT = rng.random((n, 7, 5)) > 0.5
-        # make digits distinguishable: carve an index pattern
-        for i in range(n):
-            _FONT[i, 0, :] = [(i >> b) & 1 for b in range(5)]
+        _FONT = np.zeros((len(_GLYPH_ART), 7, 5), bool)
+        for ch, art in _GLYPH_ART.items():
+            rows = art.split()
+            assert len(rows) == 7 and all(len(r) == 5 for r in rows), ch
+            for r, row in enumerate(rows):
+                for c, px in enumerate(row):
+                    _FONT[_GLYPHS[ch], r, c] = px == "#"
     return _FONT
 
 

@@ -144,3 +144,63 @@ def test_env_pool_worker_restart():
     out = pool.step([1, 1])
     assert out[0].obs["rgb_raw"].dtype == np.uint8
     pool.close()
+
+
+class _HangingSampler:
+    """Sampler whose controller hangs (alive, unresponsive) once per stream —
+    the stuck-Unity failure mode the reference defends against with SIGALRM
+    (reference online_evaluator.py:43-57)."""
+
+    def __init__(self, stream_id):
+        import os
+        import tempfile
+
+        from tests.test_rollout_training import make_sampler_factory
+
+        self.inner = make_sampler_factory(max_steps=100)(stream_id)
+        self.steps = 0
+        self.marker = os.path.join(
+            tempfile.gettempdir(), f"svtest_hang_once_{os.getppid()}_{stream_id}"
+        )
+
+    def next_task(self, force_advance_scene=False):
+        task = self.inner.next_task(force_advance_scene=force_advance_scene)
+        outer = self
+
+        class _Wrap:
+            def __getattr__(self, k):
+                return getattr(task, k)
+
+            def step(self, a):
+                import os
+                import time
+
+                outer.steps += 1
+                if outer.steps == 3 and not os.path.exists(outer.marker):
+                    open(outer.marker, "w").close()
+                    time.sleep(3600)  # hang "forever" (killed by the pool)
+                return task.step(a)
+
+        return _Wrap()
+
+    def close(self):
+        self.inner.close()
+
+
+def test_env_pool_hung_worker_timeout():
+    """A worker that hangs mid-step is killed after step_timeout_s and its
+    stream resumes on a fresh worker."""
+    from safevla_tpu.rollout.env_pool import EnvPool
+
+    pool = EnvPool(
+        _HangingSampler, num_streams=2, num_workers=2, mp_context="fork",
+        max_restarts=4, step_timeout_s=2.0,
+    )
+    for t in range(6):
+        out = pool.step([0, 0])
+        for s in out:
+            assert s.obs is not None
+    assert pool.restarts >= 1  # both streams hang at their step 3
+    out = pool.step([1, 1])
+    assert out[0].obs["rgb_raw"].dtype == np.uint8
+    pool.close()
