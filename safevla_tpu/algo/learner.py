@@ -49,21 +49,57 @@ class TrainState(NamedTuple):
 
 
 class StageSpec(NamedTuple):
-    """Static loss weights for one pipeline stage."""
+    """Static loss weights for one pipeline stage (resolved from the named
+    losses in cfg.train.stages — reference PipelineStage loss_names)."""
 
     action_weight: float
     value_weight: float
     c_value_weight: float
+    imitation_weight: float
     use_lagrange: bool
 
 
-# Reference 3-stage pipeline: critic warmup, then PPO-Lagrangian.
-# The cost critic keeps training in stages 1-2 so lambda acts on live estimates.
-STAGES = (
-    StageSpec(action_weight=0.0, value_weight=1.0, c_value_weight=1.0, use_lagrange=False),
-    StageSpec(action_weight=1.0, value_weight=0.5, c_value_weight=0.5, use_lagrange=True),
-    StageSpec(action_weight=1.0, value_weight=0.5, c_value_weight=0.5, use_lagrange=True),
-)
+def stage_spec_from_config(stage_cfg, ppo) -> StageSpec:
+    """Resolve a TrainingStageConfig's named losses into static weights.
+
+    The PPO policy losses bundle their value terms at ppo.value_loss_coef
+    (reference SafePPOLogGrad computes value+cost-value inside the loss with
+    value_loss_coef=0.5, customized_loss.py:364-383); standalone value losses
+    add at their own weight (critic-warmup stage trains them at 1.0).
+    """
+    names = list(stage_cfg.loss_names)
+    weights = list(stage_cfg.loss_weights or [1.0] * len(names))
+    if len(weights) != len(names):
+        raise ValueError(
+            f"loss_weights ({len(weights)}) must match loss_names ({len(names)})"
+        )
+    action = value = c_value = imitation = 0.0
+    use_lagrange = False
+    for name, w in zip(names, weights):
+        if name == "ppo_log_loss":  # PPO-Lagrangian surrogate
+            action += w
+            value += w * ppo.value_loss_coef
+            c_value += w * ppo.value_loss_coef
+            use_lagrange = True
+        elif name == "ppo_loss":  # unconstrained PPO (lambda == 0 path)
+            action += w
+            value += w * ppo.value_loss_coef
+            c_value += w * ppo.value_loss_coef
+        elif name == "ppo_value_loss":
+            value += w
+        elif name == "safe_ppo_value_loss":
+            c_value += w
+        elif name == "imitation_bce_loss":
+            imitation += w
+        else:
+            raise ValueError(f"Unknown loss name in pipeline stage: {name!r}")
+    return StageSpec(
+        action_weight=action,
+        value_weight=value,
+        c_value_weight=c_value,
+        imitation_weight=imitation,
+        use_lagrange=use_lagrange,
+    )
 
 
 class Learner:
@@ -75,7 +111,10 @@ class Learner:
             optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
             optax.adam(cfg.ppo.lr),
         )
-        self._update_fns: Dict[int, Any] = {}
+        self._update_fns: Dict[Any, Any] = {}
+        self.stage_specs = tuple(
+            stage_spec_from_config(s, cfg.ppo) for s in cfg.train.stages
+        )
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array) -> TrainState:
@@ -163,6 +202,19 @@ class Learner:
             + stage.c_value_weight * cv_loss
             - stage.action_weight * ppo.entropy_coef * entropy
         )
+        if stage.imitation_weight:
+            # expert-pickupable BCE aux loss (reference customized_loss.py:17-83)
+            if "expert_pickupable" not in batch:
+                raise KeyError(
+                    "imitation_bce_loss is enabled for this stage but the "
+                    "batch has no 'expert_pickupable' signal — add "
+                    "ExpertPickupableSensor to the sensor suite"
+                )
+            imitation = L.imitation_bce_loss(
+                out.logits, batch["expert_pickupable"].astype(jnp.float32)
+            )
+            total = total + stage.imitation_weight * imitation
+            metrics["imitation"] = imitation
         metrics.update(
             action=action_loss,
             value=v_loss,
@@ -175,7 +227,7 @@ class Learner:
 
     # ------------------------------------------------------------------
     def _make_update(self, stage_id: int):
-        stage = STAGES[min(stage_id, len(STAGES) - 1)]
+        stage = self.stage_specs[min(stage_id, len(self.stage_specs) - 1)]
         ppo = self.cfg.ppo
 
         def update(train_state: TrainState, batch, mean_episode_cost):
@@ -253,7 +305,7 @@ class Learner:
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         """One rollout's worth of learning. `stage_id` selects the pipeline
         stage (recompiles at most once per stage)."""
-        key = min(int(stage_id), len(STAGES) - 1)
+        key = min(int(stage_id), len(self.stage_specs) - 1)
         if key not in self._update_fns:
             self._update_fns[key] = self._make_update(key)
         return self._update_fns[key](
@@ -265,7 +317,7 @@ class Learner:
     # PPO epoch at a time so act steps interleave with training on the chip
     # ------------------------------------------------------------------
     def _make_split_update(self, stage_id: int):
-        stage = STAGES[min(stage_id, len(STAGES) - 1)]
+        stage = self.stage_specs[min(stage_id, len(self.stage_specs) - 1)]
         ppo = self.cfg.ppo
 
         def prepare(train_state: TrainState, batch, mean_episode_cost):
@@ -305,7 +357,7 @@ class Learner:
         return jax.jit(prepare), jax.jit(epoch)
 
     def split_update_fns(self, stage_id: int):
-        key = ("split", min(int(stage_id), len(STAGES) - 1))
+        key = ("split", min(int(stage_id), len(self.stage_specs) - 1))
         if key not in self._update_fns:
             self._update_fns[key] = self._make_split_update(key[1])
         return self._update_fns[key]

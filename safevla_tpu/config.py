@@ -102,8 +102,16 @@ class LagrangeConfig:
 
 @dataclass
 class TrainingStageConfig:
+    """One pipeline stage: named losses + weights (AllenAct PipelineStage
+    semantics, reference dinov2_vits_tsfm_base.py:332-379). Available names:
+    ppo_log_loss (PPO-Lagrangian surrogate incl. value/cost-value at
+    value_loss_coef), ppo_loss (unconstrained variant), ppo_value_loss,
+    safe_ppo_value_loss, imitation_bce_loss (expert-pickupable BCE,
+    reference customized_loss.py:17-83)."""
+
     loss_names: List[str] = field(default_factory=list)
     max_stage_steps: int = 0
+    loss_weights: Optional[List[float]] = None  # None -> 1.0 each
 
 
 @dataclass
@@ -211,8 +219,41 @@ def _parse_value(raw: str, current: Any) -> Any:
     return raw
 
 
+# Named experiment presets (the reference ships alternative experiment
+# configs per encoder pair, e.g. the SigLIP variant of the DINOv2+T5
+# experiment: siglip_preprocessors.py + text_cond_visual_encoder.py:35-44).
+# Selected with `preset=<name>` on any CLI; explicit overrides still win.
+PRESETS = {
+    "dinov2_t5": [],  # the defaults
+    "siglip_base": [
+        "model.vision_backbone=siglip_vitb16_256",
+        "model.vision_feature_dim=768",
+        "model.image_size=[256, 256]",
+        "model.text_backbone=siglip_base",
+        "model.text_embed_size=768",
+        "model.text_max_tokens=64",
+    ],
+}
+
+
 def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
-    """Apply CLI overrides of the form section.field=value or field=value."""
+    """Apply CLI overrides of the form section.field=value or field=value.
+    `preset=<name>` expands to its override list first (later explicit
+    overrides win)."""
+    expanded: List[str] = []
+    rest: List[str] = []
+    for ov in overrides:
+        key = ov.lstrip("-").split("=", 1)[0]
+        if key == "preset":
+            name = ov.split("=", 1)[1]
+            if name not in PRESETS:
+                raise ValueError(
+                    f"Unknown preset {name!r}; available: {sorted(PRESETS)}"
+                )
+            expanded += PRESETS[name]
+        else:
+            rest.append(ov)
+    overrides = expanded + rest
     for ov in overrides:
         ov = ov.lstrip("-")
         if "=" not in ov:

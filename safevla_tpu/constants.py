@@ -136,3 +136,14 @@ ADDITIONAL_NAVIGATION_ARGS = {**ADDITIONAL_ARM_ARGS, "returnToStart": False}
 # (reference: architecture/allenact_preprocessors/dino_preprocessors.py:42-43).
 DINO_RGB_MEANS = (0.48145466, 0.4578275, 0.40821073)
 DINO_RGB_STDS = (0.26862954, 0.26130258, 0.27577711)
+
+# SigLIP preprocessing stats (reference siglip_preprocessors.py:37-38).
+SIGLIP_RGB_MEANS = (0.5, 0.5, 0.5)
+SIGLIP_RGB_STDS = (0.5, 0.5, 0.5)
+
+
+def rgb_norm_constants(vision_backbone: str):
+    """(means, stds) for the given frozen vision trunk."""
+    if "siglip" in vision_backbone.lower():
+        return SIGLIP_RGB_MEANS, SIGLIP_RGB_STDS
+    return DINO_RGB_MEANS, DINO_RGB_STDS

@@ -96,6 +96,49 @@ class DetectorBBoxSensor(Sensor):
         return np.array(best + list(EMPTY_BBOX), dtype=np.float32)
 
 
+class TaskRelevantObjectBBoxSensorDetic(Sensor):
+    """Open-vocab detected target box for non-GT evaluation (reference
+    TaskRelevantObjectBBoxSensorDeticOnlineEvalDetic,
+    navigation_sensors.py:873-965): detect the task's target lemma in the
+    chosen camera, pick the best-scoring box above the per-lemma threshold.
+    Re-detection is skipped while the frame is unchanged (the reference's
+    last_rgb cache), since detection dominates eval step time."""
+
+    def __init__(
+        self,
+        detector,
+        uuid: str = "task_relevant_object_bbox",
+        which_camera: str = "nav",
+    ):
+        super().__init__(uuid)
+        self.detector = detector
+        self.which_camera = which_camera
+        self._last_rgb: Optional[np.ndarray] = None
+        self._last_bbox: Optional[np.ndarray] = None
+
+    def get_observation(self, env, task) -> np.ndarray:
+        from safevla_tpu.envs.detic import select_best_box
+        from safevla_tpu.utils.instructions import best_lemma
+
+        frame = (
+            env.navigation_camera if self.which_camera == "nav" else env.manipulation_camera
+        )
+        if (
+            self._last_rgb is not None
+            and self._last_rgb.shape == frame.shape
+            and np.array_equal(self._last_rgb, frame)
+        ):
+            return self._last_bbox
+        lemma = best_lemma(task.task_info["synsets"][0])
+        dets = self.detector.detect(frame, [lemma])
+        boxes = [d[:4] for d in dets]
+        scores = [d[4] for d in dets]
+        bbox = select_best_box(boxes, scores, [lemma] * len(boxes), lemma)
+        self._last_rgb = frame.copy()
+        self._last_bbox = bbox
+        return bbox
+
+
 class NullDetector:
     """Placeholder detector: never detects (GT-detection eval path does not
     need one; plug a real open-vocab detector in for non-GT eval)."""
@@ -104,15 +147,25 @@ class NullDetector:
         return []
 
 
-def load_detic_detector(config_path: Optional[str] = None, weights_path: Optional[str] = None):
-    """Load the Detic open-vocab detector if detectron2/Detic are installed
-    (reference utils/detic_utils.py:50-115); otherwise a NullDetector."""
+def load_detic_detector(
+    config_path: Optional[str] = None,
+    weights_path: Optional[str] = None,
+    device: str = "cpu",
+):
+    """Load the Detic open-vocab detector when detectron2 + the Detic repo
+    are installed (reference utils/detic_utils.py); NullDetector otherwise
+    so the GT-detection eval path keeps working without the heavy stack."""
     try:  # pragma: no cover - heavy optional dependency
-        from detectron2.config import get_cfg  # noqa: F401
+        from safevla_tpu.envs.detic import DeticDetector, DeticPredictor
 
-        raise NotImplementedError(
-            "Detic integration requires the Detic repo; wrap its predictor in "
-            "an object with .detect(image, vocabulary)."
-        )
-    except ImportError:
+        kwargs = dict(min_size_test=640, max_size_test=640, device=device)
+        if config_path:
+            kwargs["config_file"] = config_path
+        if weights_path:
+            kwargs["model_weights_file"] = weights_path
+        return DeticDetector(DeticPredictor(**kwargs))
+    except ImportError as e:
+        import sys
+
+        print(f"Detic unavailable ({e}); using NullDetector", file=sys.stderr)
         return NullDetector()

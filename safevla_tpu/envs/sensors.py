@@ -131,6 +131,26 @@ class TargetObjectWasPickedUp(Sensor):
         return np.array([target_in_hand], dtype=np.int64)
 
 
+class ExpertPickupableSensor(Sensor):
+    """Binary expert signal for the Imitation BCE aux loss (reference
+    customized_loss.py:17-83 reads observation uuid 'expert_pickupable'):
+    1.0 when a target object is currently within the hand's pickup sphere,
+    i.e. the expert would issue the pickup action now."""
+
+    def __init__(self, uuid: str = "expert_pickupable"):
+        super().__init__(uuid)
+
+    def get_observation(self, env, task) -> np.ndarray:
+        pickupable = False
+        if "synsets" in task.task_info:
+            object_ids: List[str] = []
+            for object_type in task.task_info["synsets"]:
+                object_ids += task.task_info["synset_to_object_ids"].get(object_type, [])
+            in_sphere = env.get_objects_in_hand_sphere()
+            pickupable = any(x in object_ids for x in in_sphere)
+        return np.array(pickupable, dtype=np.float64)
+
+
 class ReadyForDoneActionSensor(Sensor):
     def __init__(self, uuid: str = "expert_done"):
         super().__init__(uuid)

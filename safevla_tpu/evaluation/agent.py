@@ -74,12 +74,13 @@ class InferenceAgent:
         )
 
     def _policy_step(self, params, state, aug, rgb_nav, rgb_manip, prev, not_reset, oih, rng):
-        from safevla_tpu.constants import DINO_RGB_MEANS, DINO_RGB_STDS
+        from safevla_tpu.constants import rgb_norm_constants
         from safevla_tpu.preprocessing.augment import apply_augment
 
+        means, stds = rgb_norm_constants(self.cfg.model.vision_backbone)
         imgs = jnp.concatenate([rgb_nav, rgb_manip], axis=0)
         x01 = apply_augment(imgs.astype(jnp.float32) / 255.0, aug)
-        x = (x01 - jnp.asarray(DINO_RGB_MEANS)) / jnp.asarray(DINO_RGB_STDS)
+        x = (x01 - jnp.asarray(means)) / jnp.asarray(stds)
         feats = self.policy.encode_images(params, x)
         logits, v, cv, new_state = self.policy.act_step(
             params, state, feats[: self.B], feats[self.B :], prev, not_reset, oih

@@ -62,6 +62,7 @@ class BatchedEvaluator:
         max_eval_tasks: Optional[int] = None,
         video_dir: Optional[str] = None,
         video_every: int = 0,
+        max_episode_len: Optional[int] = None,
     ):
         """`sampler_factory_builder(tasks_queue) -> sampler_factory(stream_id)`
         must build samplers whose task_spec_sampler drains `tasks_queue`.
@@ -74,6 +75,9 @@ class BatchedEvaluator:
         self.max_eval_tasks = max_eval_tasks or cfg.eval.max_eval_tasks
         self.video_dir = video_dir
         self.video_every = video_every if video_dir else 0
+        # None -> the benchmark protocol's per-task-type cap; set explicitly
+        # when the samplers enforce a shorter task max_steps (tests)
+        self.max_episode_len = max_episode_len
 
     # ------------------------------------------------------------------
     def evaluate(
@@ -98,7 +102,7 @@ class BatchedEvaluator:
 
         active = np.array([s is not None for s in pool.initial_steps()])
         steps = pool.initial_steps()
-        max_len = MAX_EPISODE_LEN_PER_TASK.get(task_type, 600)
+        max_len = self.max_episode_len or MAX_EPISODE_LEN_PER_TASK.get(task_type, 600)
         if agent.cfg.model.max_steps < max_len:
             pool.close()
             raise ValueError(

@@ -205,7 +205,15 @@ class PolicyTower(nn.Module):
         txt = nn.relu(self.text_adapter_ln(txt)).astype(dtype)
         txt = txt * text_mask[..., None].astype(dtype)
         toks.append(txt)
-        fused = self.fusion(jnp.concatenate(toks, axis=1))
+        # padded text tokens are masked OUT of the fusion attention (the
+        # reference pads dynamically to the longest instruction — B=1 at
+        # eval — so pads never enter the softmax; zeroed values alone would
+        # still shift the normalization)
+        n_prefix = sum(t.shape[1] for t in toks[:-1])
+        key_mask = jnp.concatenate(
+            [jnp.ones((n, n_prefix), bool), text_mask.astype(bool)], axis=1
+        )
+        fused = self.fusion(jnp.concatenate(toks, axis=1), key_mask)
         return fused[:, 0].astype(jnp.float32)
 
     def _joint_embed(
@@ -367,7 +375,22 @@ class SafeVLAPolicy:
         from safevla_tpu.models.image_encoders import build_image_encoder
 
         self.vit = build_image_encoder(cfg.vision_backbone)
-        self.t5 = T5Encoder(T5Config(d_model=cfg.text_embed_size))
+        # frozen text tower: T5 (default) or the SigLIP text transformer
+        # (reference create_text_encoder, text_cond_visual_encoder.py:35-44).
+        # The params key stays "t5" for checkpoint/back compatibility.
+        if "siglip" in cfg.text_backbone.lower():
+            from safevla_tpu.models.text_towers import SigLIPTextEncoder, TextTowerConfig
+
+            heads = next(h for h in (12, 8, 6, 4, 2, 1) if cfg.text_embed_size % h == 0)
+            self.t5 = SigLIPTextEncoder(
+                TextTowerConfig(
+                    d_model=cfg.text_embed_size,
+                    num_heads=heads,
+                    max_tokens=cfg.text_max_tokens,
+                )
+            )
+        else:
+            self.t5 = T5Encoder(T5Config(d_model=cfg.text_embed_size))
         self.tower = PolicyTower(cfg)
         self.num_towers = cfg.num_towers
 

@@ -319,6 +319,70 @@ def import_dinov2(sd: Dict[str, Any], depth: int = 12, grid=(16, 27)) -> Dict[st
     return {"params": p}
 
 
+def _strip_prefix(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    if any(k.startswith(prefix) for k in sd):
+        return {k[len(prefix) :]: v for k, v in sd.items() if k.startswith(prefix)}
+    return sd
+
+
+def import_siglip_trunk(sd: Dict[str, Any], depth: int = 12) -> Dict[str, Any]:
+    """open_clip/timm SigLIP ViT trunk state dict -> safevla_tpu.models.vit
+    params (patch-only trunk: no cls token, no layerscale; reference
+    siglip_preprocessors.py:18-33 uses model.visual.trunk.forward_features).
+
+    Accepts either bare timm-ViT keys (patch_embed.proj...) or the full
+    open_clip checkpoint (visual.trunk.*-prefixed)."""
+    sd = _strip_prefix(sd, "visual.trunk.")
+    p: Dict[str, Any] = {}
+    p["patch_embed_kernel"] = _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0)
+    p["patch_embed_bias"] = _t(sd["patch_embed.proj.bias"])
+    # SigLIP-256 pos_embed is already the (16, 16) grid: no interpolation
+    p["pos_embed"] = _t(sd["pos_embed"])
+    for i in range(depth):
+        bp = f"blocks.{i}"
+        p[f"block_{i}"] = {
+            "norm1": _layernorm(sd, f"{bp}.norm1"),
+            "norm2": _layernorm(sd, f"{bp}.norm2"),
+            "attn": {
+                "qkv": _linear(sd, f"{bp}.attn.qkv"),
+                "proj": _linear(sd, f"{bp}.attn.proj"),
+            },
+            "mlp_fc1": _linear(sd, f"{bp}.mlp.fc1"),
+            "mlp_fc2": _linear(sd, f"{bp}.mlp.fc2"),
+        }
+    p["norm"] = _layernorm(sd, "norm")
+    return {"params": p}
+
+
+def import_siglip_text(sd: Dict[str, Any], num_layers: int = 12) -> Dict[str, Any]:
+    """open_clip SigLIP text tower (TextTransformer) state dict ->
+    safevla_tpu.models.text_towers.SigLIPTextEncoder params.
+
+    Accepts bare TextTransformer keys (token_embedding...) or the full
+    open_clip checkpoint (text.*-prefixed)."""
+    sd = _strip_prefix(sd, "text.")
+    p: Dict[str, Any] = {
+        "token_embed": _t(sd["token_embedding.weight"]),
+        "pos_embed": _t(sd["positional_embedding"]),
+        "final_ln": _layernorm(sd, "ln_final"),
+    }
+    for i in range(num_layers):
+        bp = f"transformer.resblocks.{i}"
+        p[f"block_{i}"] = {
+            "ln1": _layernorm(sd, f"{bp}.ln_1"),
+            "ln2": _layernorm(sd, f"{bp}.ln_2"),
+            # torch MHA packed in_proj (3D, D) rows [q;k;v] -> Dense (D, 3D)
+            "qkv": {
+                "kernel": _t(sd[f"{bp}.attn.in_proj_weight"]).T,
+                "bias": _t(sd[f"{bp}.attn.in_proj_bias"]),
+            },
+            "proj": _linear(sd, f"{bp}.attn.out_proj"),
+            "fc1": _linear(sd, f"{bp}.mlp.c_fc"),
+            "fc2": _linear(sd, f"{bp}.mlp.c_proj"),
+        }
+    return {"params": p}
+
+
 def import_t5(sd: Dict[str, Any], num_layers: int = 6) -> Dict[str, Any]:
     """HF T5EncoderModel state dict -> safevla_tpu.models.t5 params."""
     p: Dict[str, Any] = {"token_embed": _t(sd["shared.weight"])}

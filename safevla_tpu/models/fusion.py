@@ -23,7 +23,7 @@ class TorchMultiheadAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_mask=None):
         b, t, d = x.shape
         h = self.num_heads
         dh = d // h
@@ -43,7 +43,7 @@ class TorchMultiheadAttention(nn.Module):
         v = v.reshape(b, t, h, dh)
         from safevla_tpu.ops.flash_attention import attention
 
-        out = attention(q, k, v).astype(self.dtype).reshape(b, t, d)
+        out = attention(q, k, v, key_mask=key_mask).astype(self.dtype).reshape(b, t, d)
         out = nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
         return out
 
@@ -55,9 +55,11 @@ class FusionLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_mask=None):
         # post-LN (torch default norm_first=False)
-        attn = TorchMultiheadAttention(self.dim, self.num_heads, self.dtype, name="self_attn")(x)
+        attn = TorchMultiheadAttention(self.dim, self.num_heads, self.dtype, name="self_attn")(
+            x, key_mask
+        )
         x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
         x = x.astype(self.dtype)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
@@ -75,9 +77,17 @@ class FusionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, tokens):
-        """tokens (B, N, D) -> (B, N, D)."""
+    def __call__(self, tokens, key_mask=None):
+        """tokens (B, N, D) -> (B, N, D).
+
+        key_mask (B, N) bool: False positions (padded text tokens) are
+        excluded from every layer's attention softmax. The reference pads
+        text dynamically to the longest instruction in the (B=1 at eval)
+        batch, so real text tokens never share the softmax with pads —
+        masking reproduces that with static shapes."""
         x = tokens.astype(self.dtype)
         for i in range(self.num_layers):
-            x = FusionLayer(self.dim, self.num_heads, self.ffn_dim, self.dtype, name=f"layer_{i}")(x)
+            x = FusionLayer(self.dim, self.num_heads, self.ffn_dim, self.dtype, name=f"layer_{i}")(
+                x, key_mask
+            )
         return x

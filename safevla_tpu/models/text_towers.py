@@ -50,7 +50,9 @@ class _Block(nn.Module):
         x = x + nn.Dense(d, dtype=cfg.dtype, name="proj")(attn)
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln2")(x)
         y = nn.Dense(int(d * cfg.mlp_ratio), dtype=cfg.dtype, name="fc1")(y.astype(cfg.dtype))
-        y = nn.gelu(y, approximate=True)
+        # exact GELU: open_clip's TextTransformer uses torch nn.GELU
+        # (approximate='none'); keep bit-comparable for weight import
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(d, dtype=cfg.dtype, name="fc2")(y)
         return x + y
 

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from safevla_tpu.config import Config
-from safevla_tpu.constants import DINO_RGB_MEANS, DINO_RGB_STDS
+from safevla_tpu.constants import rgb_norm_constants
 from safevla_tpu.models.actor_critic import PolicyState, SafeVLAPolicy
 from safevla_tpu.preprocessing.augment import (
     apply_augment,
@@ -51,8 +51,11 @@ from safevla_tpu.rollout.env_pool import EnvPool, EnvStep
 from safevla_tpu.utils.profiling import StageTimer
 
 # packed per-stream int32 columns
-_PREV, _NOT_RESET, _OIH, _TSTEP, _TRAJ, _TEXT_SLOT, _NAV_ID, _MANIP_ID = range(8)
-_N_COLS = 8
+(
+    _PREV, _NOT_RESET, _OIH, _TSTEP, _TRAJ, _TEXT_SLOT, _NAV_ID, _MANIP_ID,
+    _EXPERT_PICKUP,
+) = range(9)
+_N_COLS = 9
 _N_META = 3  # (t, global_step, row_offset)
 
 
@@ -208,12 +211,14 @@ class RolloutRunner:
         tstep_obs = cols[:, _TSTEP]
         traj = cols[:, _TRAJ]
         text_slot = cols[:, _TEXT_SLOT]
+        expert_pickup = cols[:, _EXPERT_PICKUP]
 
         frames = jnp.concatenate(
             [bank[cols[:, _NAV_ID]], bank[cols[:, _MANIP_ID]]], axis=0
         )
+        means, stds = rgb_norm_constants(self.cfg.model.vision_backbone)
         x01 = apply_augment(frames.astype(jnp.float32) / 255.0, aug)
-        x = (x01 - jnp.asarray(DINO_RGB_MEANS)) / jnp.asarray(DINO_RGB_STDS)
+        x = (x01 - jnp.asarray(means)) / jnp.asarray(stds)
         feats = self.policy.encode_images(params, x)
         dino_nav, dino_manip = feats[:G], feats[G:]
 
@@ -237,6 +242,7 @@ class RolloutRunner:
             "time_step": tstep_obs,
             "traj_idx": traj,
             "text_idx": text_slot,
+            "expert_pickupable": expert_pickup,
         }
         for k, val in step_data.items():
             val = val.astype(storage[k].dtype)[None]  # (1, G, ...)
@@ -263,6 +269,7 @@ class RolloutRunner:
             "time_step": jnp.zeros((T, B), i32),
             "traj_idx": jnp.zeros((T, B), i32),
             "text_idx": jnp.zeros((T, B), i32),
+            "expert_pickupable": jnp.zeros((T, B), i32),
         }
 
     def _ingest(self, steps: List[EnvStep], g: int, first: bool = False) -> Dict[str, Any]:
@@ -305,6 +312,13 @@ class RolloutRunner:
             "oih": np.array(
                 [
                     int(np.asarray(o.get("an_object_is_in_hand", 0)).reshape(-1)[0])
+                    for o in obs
+                ],
+                np.int32,
+            ),
+            "expert_pickup": np.array(
+                [
+                    int(np.asarray(o.get("expert_pickupable", 0)).reshape(-1)[0])
                     for o in obs
                 ],
                 np.int32,
@@ -363,6 +377,7 @@ class RolloutRunner:
         cols[:, _TEXT_SLOT] = self.cur_slot[lo:hi]
         cols[:, _NAV_ID] = cur["nav_ids"]
         cols[:, _MANIP_ID] = cur["manip_ids"]
+        cols[:, _EXPERT_PICKUP] = cur["expert_pickup"]
         packed[self.G * _N_COLS] = t
         packed[self.G * _N_COLS + 1] = self._global_step
         packed[self.G * _N_COLS + 2] = lo
@@ -531,6 +546,7 @@ class RolloutRunner:
             "traj_idx": tr(storage["traj_idx"]),
             "actions": tr(storage["actions"]),
             "old_log_probs": tr(storage["old_log_probs"]),
+            "expert_pickupable": tr(storage["expert_pickupable"]),
             "rewards": jnp.asarray(rewards).T,
             "costs": jnp.asarray(costs).T,
             "values": jnp.concatenate([tr(storage["values"]), v_boot], axis=1),

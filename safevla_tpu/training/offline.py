@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from safevla_tpu.config import Config
-from safevla_tpu.constants import DINO_RGB_MEANS, DINO_RGB_STDS
+from safevla_tpu.constants import rgb_norm_constants
 from safevla_tpu.models.actor_critic import PolicyTower, SafeVLAPolicy
 from safevla_tpu.preprocessing.augment import (
     apply_augment,
@@ -160,8 +160,9 @@ class OfflineTrainer:
         b, t = batch["rgb_nav"].shape[:2]
         imgs = jnp.concatenate([batch["rgb_nav"], batch["rgb_manip"]], axis=0)
         imgs = imgs.reshape((-1,) + imgs.shape[2:])
+        means, stds = rgb_norm_constants(cfg.model.vision_backbone)
         x01 = apply_augment(imgs.astype(jnp.float32) / 255.0, aug)
-        x = (x01 - jnp.asarray(DINO_RGB_MEANS)) / jnp.asarray(DINO_RGB_STDS)
+        x = (x01 - jnp.asarray(means)) / jnp.asarray(stds)
         params = {"towers": tower_params, **frozen}
         feats = self.policy.encode_images(params, x)
         feats = feats.reshape((2 * b, t) + feats.shape[1:])

@@ -93,7 +93,7 @@ def test_batched_evaluator_runs(tiny_model_cfg):
         return factory
 
     evaluator = BatchedEvaluator(
-        cfg, factory_builder, num_streams=2, num_workers=0
+        cfg, factory_builder, num_streams=2, num_workers=0, max_episode_len=10
     )
     import jax
 
@@ -178,7 +178,7 @@ def test_evaluator_records_videos_and_top_down(tiny_model_cfg, tmp_path):
     video_dir = str(tmp_path / "videos")
     evaluator = BatchedEvaluator(
         cfg, factory_builder, num_streams=2, num_workers=0,
-        video_dir=video_dir, video_every=1,
+        video_dir=video_dir, video_every=1, max_episode_len=10,
     )
     import jax
     import os

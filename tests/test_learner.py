@@ -122,3 +122,70 @@ def test_update_with_alternative_critics(tiny_model_cfg, critic_type):
         ts, metrics = learner.update(ts, batch, 3.0, stage)
         assert np.isfinite(float(metrics["total"])), critic_type
         assert np.isfinite(float(metrics["value"]))
+
+
+def test_config_driven_stage_with_imitation(tiny_model_cfg, tiny_policy):
+    """A pipeline stage composed from named losses in config — including the
+    imitation BCE aux loss (reference customized_loss.py:17-83) — trains and
+    reports the imitation metric."""
+    from safevla_tpu.algo.learner import Learner, stage_spec_from_config
+    from safevla_tpu.config import TrainingStageConfig
+
+    cfg = Config()
+    cfg.model = tiny_model_cfg
+    cfg.ppo.update_repeats = 2
+    cfg.train.stages = [
+        TrainingStageConfig(
+            loss_names=["ppo_log_loss", "imitation_bce_loss"],
+            loss_weights=[1.0, 0.5],
+            max_stage_steps=1_000_000,
+        )
+    ]
+    spec = stage_spec_from_config(cfg.train.stages[0], cfg.ppo)
+    assert spec.action_weight == 1.0
+    assert spec.value_weight == cfg.ppo.value_loss_coef
+    assert spec.imitation_weight == 0.5
+    assert spec.use_lagrange
+
+    learner = Learner(tiny_policy, cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    batch = _batch(tiny_model_cfg)
+    rng = np.random.default_rng(3)
+    batch["expert_pickupable"] = jnp.asarray(
+        rng.integers(0, 2, batch["actions"].shape), jnp.int32
+    )
+    ts2, metrics = learner.update(ts, batch, 3.0, 0)
+    assert np.isfinite(float(metrics["imitation"]))
+    assert np.isfinite(float(metrics["total"]))
+    # params moved
+    moved = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(ts.tower_params), jax.tree.leaves(ts2.tower_params))
+    )
+    assert moved > 0
+
+
+def test_unknown_loss_name_rejected():
+    from safevla_tpu.algo.learner import stage_spec_from_config
+    from safevla_tpu.config import PPOConfig, TrainingStageConfig
+
+    with pytest.raises(ValueError, match="Unknown loss name"):
+        stage_spec_from_config(
+            TrainingStageConfig(loss_names=["nope_loss"]), PPOConfig()
+        )
+
+
+def test_imitation_requires_signal(tiny_model_cfg, tiny_policy):
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.config import TrainingStageConfig
+
+    cfg = Config()
+    cfg.model = tiny_model_cfg
+    cfg.ppo.update_repeats = 1
+    cfg.train.stages = [
+        TrainingStageConfig(loss_names=["imitation_bce_loss"], max_stage_steps=1)
+    ]
+    learner = Learner(tiny_policy, cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    with pytest.raises(KeyError, match="expert_pickupable"):
+        learner.update(ts, _batch(tiny_model_cfg), 0.0, 0)

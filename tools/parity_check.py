@@ -165,6 +165,24 @@ def check_goldens(args) -> bool:
         mask = jnp.ones(tokens.shape, bool)
         ours = np.asarray(jax.jit(lambda p, t, m: enc.apply(p, t, m))(params, tokens, mask))
         ok &= check("t5 vs goldens", ours, data["t5_out"], args.atol or 1e-4)
+
+    if "siglip_out" in data:
+        from safevla_tpu.models.convert import import_siglip_trunk
+        from safevla_tpu.models.vit import VIT_CONFIGS, DinoViT
+
+        sd = {
+            k[len("siglip_sd/") :]: data[k]
+            for k in data.files
+            if k.startswith("siglip_sd/")
+        }
+        params = import_siglip_trunk(sd, depth=12)
+        cfg = dataclasses.replace(VIT_CONFIGS["siglip_vitb16_256"], dtype=jnp.float32)
+        vit = DinoViT(cfg, pool_grid=(16, 16))  # identity pool: raw patch grid
+        ours = np.asarray(
+            jax.jit(lambda p, x: vit.apply(p, x))(params, jnp.asarray(data["siglip_in"]))
+        )
+        theirs = data["siglip_out"].reshape(ours.shape)
+        ok &= check("siglip trunk vs goldens", ours, theirs, args.atol or 1e-3)
     return ok
 
 

@@ -73,6 +73,32 @@ def record(out_path: str, ckpt: str | None):
     except Exception as e:
         print(f"skip t5: {e}")
 
+    # ---- siglip (open_clip, optional) ----
+    try:
+        from open_clip import create_model_from_pretrained
+
+        model, _ = create_model_from_pretrained("hf-hub:timm/ViT-B-16-SigLIP-256")
+        model.eval()
+        x = rng.normal(size=(2, 256, 256, 3)).astype(np.float32)
+        with torch.no_grad():
+            feats = model.visual.trunk.forward_features(
+                torch.from_numpy(x.transpose(0, 3, 1, 2))
+            )  # (B, 256, 768)
+        goldens["siglip_in"] = x
+        goldens["siglip_out"] = feats.numpy()
+        goldens.update(
+            {
+                f"siglip_sd/{k}": v.numpy()
+                for k, v in model.visual.trunk.state_dict().items()
+            }
+        )
+        goldens.update(
+            {f"siglip_text_sd/{k}": v.numpy() for k, v in model.text.state_dict().items()}
+        )
+        print("recorded siglip trunk (+text tower weights)")
+    except Exception as e:
+        print(f"skip siglip: {e}")
+
     # ---- policy logits (needs the reference repo importable + a checkpoint) ----
     if ckpt:
         try:
