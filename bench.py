@@ -112,11 +112,15 @@ def main():
             state["prev"] = (mb, lam)
             return state["ts"], stats
     else:
+        update_seconds = []
+
         def iteration(ts_in):
             params = {"towers": ts_in.tower_params, **ts_in.frozen_params}
             batch, stats = runner.collect(params, T)
+            t_up = time.time()
             ts_out, metrics = learner.update(ts_in, batch, stats["mean_episode_cost"], 1)
-            jax.block_until_ready(metrics["total"])
+            float(metrics["total"])  # force materialization (block is lazy on axon)
+            update_seconds.append(time.time() - t_up)
             return ts_out, stats
 
     # warmup (compiles rollout policy_step, text encoder, update); the second
@@ -143,6 +147,17 @@ def main():
     )
     timing = {k: round(v * 1000, 1) for k, v in stats.items() if k.startswith("time/")}
     print(f"# per-step ms: {timing}", file=sys.stderr)
+    if not use_async and update_seconds:
+        from safevla_tpu.algo.flops import update_flops_estimate
+
+        up = sum(update_seconds[-ITERS:]) / len(update_seconds[-ITERS:])
+        tf = update_flops_estimate(cfg, B, T) / 1e12
+        v5e_peak_tflops = 197.0  # bf16
+        print(
+            f"# update: {up:.2f}s for ~{tf:.0f} TFLOP -> {tf / up:.0f} TFLOP/s "
+            f"(~{100 * tf / up / v5e_peak_tflops:.0f}% of v5e bf16 peak)",
+            file=sys.stderr,
+        )
     pool.close()
 
     print(

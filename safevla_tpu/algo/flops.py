@@ -1,0 +1,46 @@
+"""Analytic FLOP accounting for the PPO update (bench MFU reporting).
+
+Counts multiply-accumulates ×2 for the 3-tower policy at the production
+shapes. The fusion encoder is rematerialized (jax.checkpoint around each
+chunk), so its forward runs TWICE on the backward pass: epoch cost
+≈ 4×fusion_fwd + 3×decoder_fwd per tower. Heads/GAE/optimizer are noise at
+these scales and are ignored.
+"""
+
+from __future__ import annotations
+
+
+def _fusion_fwd_flops(cfg, n_samples: int) -> float:
+    m = cfg.model
+    gh, gw = m.vision_grid
+    cams = 2 if m.use_manipulation_camera else 1
+    d = m.hidden_size
+    ffn = m.combiner_ffn_dim
+    L = m.text_max_tokens
+    n_tok = 1 + cams * gh * gw + L
+
+    per_layer = n_tok * (8 * d * d + 4 * d * ffn) + 4 * n_tok * n_tok * d
+    h0, h1 = m.dino_compressor_hidden_out_dims
+    compressor = cams * gh * gw * 2 * (m.vision_feature_dim * h0 + h0 * h1)
+    adapters = cams * gh * gw * 2 * h1 * h1 + L * 2 * m.text_embed_size * m.goal_dims
+    return n_samples * (m.combiner_layers * per_layer + compressor + adapters)
+
+
+def _decoder_fwd_flops(cfg, batch: int, seq: int) -> float:
+    m = cfg.model
+    d = m.hidden_size
+    # SwiGLU hidden (llama sizing: 2/3 * 4d rounded up to multiple of 256)
+    hidden = int(2 * (4 * d) / 3)
+    hidden = 256 * ((hidden + 255) // 256)
+    per_token = 8 * d * d + 6 * d * hidden + 2 * seq * d  # causal attn ~seq/2*4
+    return batch * seq * (m.num_tx_layers * per_token + 2 * d * d)  # + output proj
+
+
+def update_flops_estimate(cfg, batch: int, seq: int) -> float:
+    """Total FLOPs of one `Learner.update` (update_repeats epochs)."""
+    n = batch * seq
+    fus = _fusion_fwd_flops(cfg, n)
+    dec = _decoder_fwd_flops(cfg, batch, seq)
+    towers = cfg.model.num_towers
+    per_epoch = towers * (4 * fus + 3 * dec)
+    return cfg.ppo.update_repeats * per_epoch
