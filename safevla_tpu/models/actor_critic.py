@@ -208,12 +208,12 @@ class PolicyTower(nn.Module):
         # padded text tokens are masked OUT of the fusion attention (the
         # reference pads dynamically to the longest instruction — B=1 at
         # eval — so pads never enter the softmax; zeroed values alone would
-        # still shift the normalization)
+        # still shift the normalization). Text is right-padded, so the mask
+        # is a contiguous prefix — pass it as per-sample valid-key counts,
+        # which both the XLA and pallas attention paths accept.
         n_prefix = sum(t.shape[1] for t in toks[:-1])
-        key_mask = jnp.concatenate(
-            [jnp.ones((n, n_prefix), bool), text_mask.astype(bool)], axis=1
-        )
-        fused = self.fusion(jnp.concatenate(toks, axis=1), key_mask)
+        key_lens = n_prefix + jnp.sum(text_mask.astype(jnp.int32), axis=-1)
+        fused = self.fusion(jnp.concatenate(toks, axis=1), key_lens=key_lens)
         return fused[:, 0].astype(jnp.float32)
 
     def _joint_embed(

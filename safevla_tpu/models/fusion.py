@@ -23,7 +23,7 @@ class TorchMultiheadAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, key_mask=None):
+    def __call__(self, x, key_mask=None, key_lens=None):
         b, t, d = x.shape
         h = self.num_heads
         dh = d // h
@@ -43,7 +43,11 @@ class TorchMultiheadAttention(nn.Module):
         v = v.reshape(b, t, h, dh)
         from safevla_tpu.ops.flash_attention import attention
 
-        out = attention(q, k, v, key_mask=key_mask).astype(self.dtype).reshape(b, t, d)
+        out = (
+            attention(q, k, v, key_mask=key_mask, key_lens=key_lens)
+            .astype(self.dtype)
+            .reshape(b, t, d)
+        )
         out = nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
         return out
 
@@ -55,10 +59,10 @@ class FusionLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, key_mask=None):
+    def __call__(self, x, key_mask=None, key_lens=None):
         # post-LN (torch default norm_first=False)
         attn = TorchMultiheadAttention(self.dim, self.num_heads, self.dtype, name="self_attn")(
-            x, key_mask
+            x, key_mask, key_lens
         )
         x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
         x = x.astype(self.dtype)
@@ -77,17 +81,19 @@ class FusionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, tokens, key_mask=None):
+    def __call__(self, tokens, key_mask=None, key_lens=None):
         """tokens (B, N, D) -> (B, N, D).
 
-        key_mask (B, N) bool: False positions (padded text tokens) are
-        excluded from every layer's attention softmax. The reference pads
-        text dynamically to the longest instruction in the (B=1 at eval)
-        batch, so real text tokens never share the softmax with pads —
-        masking reproduces that with static shapes."""
+        Padded text tokens are excluded from every layer's attention softmax.
+        The reference pads text dynamically to the longest instruction in the
+        (B=1 at eval) batch, so real text tokens never share the softmax with
+        pads — masking reproduces that with static shapes. Two forms:
+          * key_mask (B, N) bool: arbitrary mask (XLA attention path)
+          * key_lens (B,) int32: valid-prefix count — equivalent for
+            right-padded text, and keeps the pallas kernel eligible."""
         x = tokens.astype(self.dtype)
         for i in range(self.num_layers):
             x = FusionLayer(self.dim, self.num_heads, self.ffn_dim, self.dtype, name=f"layer_{i}")(
-                x, key_mask
+                x, key_mask, key_lens
             )
         return x

@@ -41,7 +41,7 @@ def test_custom_vjp_matches_xla_grads():
         return jnp.sum(_xla_attention(q, k, v) ** 2)
 
     def loss_flash(q, k, v):
-        return jnp.sum(_attention_diff(q, k, v, True) ** 2)
+        return jnp.sum(_attention_diff(q, k, v, None, True) ** 2)
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
@@ -57,3 +57,32 @@ def test_bf16_io():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+def test_key_lens_forward_matches_masked_xla():
+    """Prefix key masking (right-padded text) in the kernel == XLA key_mask."""
+    b, s = 4, 201
+    q, k, v = _qkv((b, s, 8, 64), seed=3)
+    key_lens = jnp.asarray([201, 170, 185, 1], jnp.int32)
+    key_mask = jnp.arange(s)[None, :] < key_lens[:, None]
+    ref = _xla_attention(q, k, v, key_mask=key_mask)
+    got = flash_attention(q, k, v, interpret=True, key_lens=key_lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_key_lens_vjp_matches_masked_xla_grads():
+    b, s = 3, 68
+    q, k, v = _qkv((b, s, 4, 32), seed=4)
+    key_lens = jnp.asarray([68, 40, 9], jnp.int32)
+    key_mask = jnp.arange(s)[None, :] < key_lens[:, None]
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, key_mask=key_mask) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_attention_diff(q, k, v, key_lens, True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
