@@ -37,17 +37,13 @@ class TorchMultiheadAttention(nn.Module):
             jnp.einsum("btd,ed->bte", x, in_proj_w.astype(self.dtype))
             + in_proj_b.astype(self.dtype)
         )
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, t, h, dh)
-        k = k.reshape(b, t, h, dh)
-        v = v.reshape(b, t, h, dh)
-        from safevla_tpu.ops.flash_attention import attention
+        # the [q|k|v] lane layout of torch's in_proj feeds the packed
+        # attention entry directly — no split copies around the kernel
+        from safevla_tpu.ops.flash_attention import attention_qkv
 
-        out = (
-            attention(q, k, v, key_mask=key_mask, key_lens=key_lens)
-            .astype(self.dtype)
-            .reshape(b, t, d)
-        )
+        out = attention_qkv(
+            qkv, h, key_mask=key_mask, key_lens=key_lens
+        ).astype(self.dtype)
         out = nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
         return out
 

@@ -67,13 +67,12 @@ class ViTAttention(nn.Module):
     def __call__(self, x):
         b, t, d = x.shape
         h = self.cfg.num_heads
-        dh = d // h
         qkv = nn.Dense(3 * d, dtype=self.cfg.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(b, t, 3, h, dh), 3, axis=2)
-        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
-        from safevla_tpu.ops.flash_attention import attention
+        # timm's qkv layout reshapes (3*d,) -> (3, h, dh): q IS lanes [0:d],
+        # exactly the packed [q|k|v] form the kernel consumes
+        from safevla_tpu.ops.flash_attention import attention_qkv
 
-        out = attention(q, k, v).astype(self.cfg.dtype).reshape(b, t, d)
+        out = attention_qkv(qkv, h).astype(self.cfg.dtype)
         return nn.Dense(d, dtype=self.cfg.dtype, name="proj")(out)
 
 

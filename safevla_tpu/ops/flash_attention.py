@@ -1,18 +1,30 @@
-"""Pallas TPU attention kernel for the policy's encoder hot paths.
+"""Pallas TPU attention kernels for the policy's encoder hot paths.
 
 Used by the fusion transformer and ViT trunks (safevla_tpu.models.fusion /
-vit) on TPU: per-row attention logits live only in VMEM tiles instead of
-materializing (batch, heads, S, S) in HBM. These encoders run over the
-flattened (B*T [* cameras]) rollout batch, so the batch axis is large and the
-sequence short (201 fusion tokens, 433 ViT patches): the kernel tiles over
-(batch*heads, q-blocks) and keeps each row's full K/V resident in VMEM —
-the right regime for seq < ~2k, where a K/V-streaming online-softmax loop
-would only add DMA churn.
+vit). These encoders run attention over the flattened (B*T [* cameras])
+rollout/update batch: batch is huge (hundreds to thousands of rows), the
+sequence is short (201 fusion tokens, 337-433 ViT patches), and head_dim is
+64. Profiling on v5e (PERFORMANCE.md round 2) showed the XLA attention at
+these shapes spends ~50% of the whole fusion-encoder forward in attention
+that is ~2% of its FLOPs: the (B, H, S, S) logits make 5+ HBM round trips
+(QK^T write, mask, softmax passes, P read).
 
-Sequences are padded to the 128-lane boundary; padded KEY columns are masked
-to -inf inside the kernel (the true length is static), padded QUERY rows are
-sliced away after the call. Numerics: f32 logits/softmax accumulation, tile
-IO in the caller's dtype — identical math to the XLA path it replaces.
+Kernel design (v5e, ~16 MB VMEM, double-buffered blocks):
+  * Layout (B, S, H*Dh): the natural reshape of (B, S, H, Dh) — no
+    transposes, no padding of head_dim to 128 lanes (H*Dh is 384/512, a
+    lane multiple). Heads are static lane slices inside the kernel.
+  * Grid over groups of G=4 batch rows; per grid step the kernel loops
+    over heads, computing f32 logits + softmax + PV entirely in VMEM —
+    logits never touch HBM.
+  * Key padding: per-sample valid-key counts (prefix masks — right-padded
+    text) come in as an SMEM int32 array; columns >= key_lens[b] get -1e30.
+    Sequence padding to the 128 boundary is masked the same way.
+  * Backward is a second kernel with the same tiling that recomputes the
+    softmax per tile and emits dq/dk/dv in one pass (flash-attention VJP),
+    so training never materializes probabilities in HBM either.
+
+Numerics: f32 logits/softmax accumulation, tile IO in the caller's dtype —
+the same math as the XLA path it replaces (scale applied to f32 logits).
 """
 
 from __future__ import annotations
@@ -27,118 +39,218 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, scale: float, true_len: int
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+_NEG_INF = -1e30
+
+
+def _kernel_bias(kl_ref, base: int, group: int, s_pad: int):
+    """(G, s_pad) f32 additive bias from per-row valid-key counts in SMEM."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+    rows = []
+    for g in range(group):
+        kl = kl_ref[base + g]
+        rows.append(jnp.where(col < kl, 0.0, _NEG_INF))
+    return jnp.concatenate(rows, axis=0)  # (G, s_pad)
+
+
+def _fwd_kernel(kl_ref, qkv_ref, o_ref, *, heads: int, dh: int, scale: float):
+    """qkv_ref (G, S, 3*H*Dh) packed [q|k|v] on lanes — the raw in_proj
+    output, so the caller never splits/copies; o_ref (G, S, H*Dh)."""
+    group, s_pad, _ = qkv_ref.shape
+    lanes = heads * dh
+    i = pl.program_id(0)
+    bias = _kernel_bias(kl_ref, i * group, group, s_pad)[:, None, :]  # (G,1,S)
+    for h in range(heads):
+        qh = qkv_ref[:, :, h * dh : (h + 1) * dh]
+        kh = qkv_ref[:, :, lanes + h * dh : lanes + (h + 1) * dh]
+        vh = qkv_ref[:, :, 2 * lanes + h * dh : 2 * lanes + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (G, S, S)
+        s = s * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(qkv_ref.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, h * dh : (h + 1) * dh] = (out / denom).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    kl_ref, qkv_ref, g_ref, dqkv_ref, *, heads: int, dh: int, scale: float
 ):
-    """One (batch*head, q-block) tile: q (1, blk_q, d); k/v (1, s_pad, d)."""
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (blk_q, s_pad)
-    if true_len < logits.shape[-1]:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < true_len, logits, jnp.float32(-1e30))
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = (out / denom).astype(o_ref.dtype)
+    group, s_pad, _ = qkv_ref.shape
+    lanes = heads * dh
+    i = pl.program_id(0)
+    bias = _kernel_bias(kl_ref, i * group, group, s_pad)[:, None, :]
+    for h in range(heads):
+        qh = qkv_ref[:, :, h * dh : (h + 1) * dh]
+        kh = qkv_ref[:, :, lanes + h * dh : lanes + (h + 1) * dh]
+        vh = qkv_ref[:, :, 2 * lanes + h * dh : 2 * lanes + (h + 1) * dh]
+        gh = g_ref[:, :, h * dh : (h + 1) * dh].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, Sq, Sk) f32
+        pb = p.astype(qkv_ref.dtype)
+        gb = gh.astype(qkv_ref.dtype)
+        # dv = p^T g : contract over q rows
+        dv = jax.lax.dot_general(
+            pb, gb, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # dp = g v^T : (G, Sq, Sk)
+        dp = jax.lax.dot_general(
+            gb, vh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (G, Sq, Sk)
+        dsb = ds.astype(qkv_ref.dtype)
+        dq = jax.lax.dot_general(
+            dsb, kh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dk = jax.lax.dot_general(
+            dsb, qh, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[:, :, h * dh : (h + 1) * dh] = (dq * scale).astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, lanes + h * dh : lanes + (h + 1) * dh] = (
+            dk * scale
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * lanes + h * dh : 2 * lanes + (h + 1) * dh] = dv.astype(
+            dqkv_ref.dtype
+        )
 
 
-def _attn_kernel_lens(
-    kl_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float
-):
-    """Like _attn_kernel, but key columns >= kl_ref[row] are masked out.
-
-    kl_ref is the per-(batch*head) valid key count in SMEM — prefix masks
-    only (right-padded text), which is what the tokenizer produces."""
-    row = pl.program_id(0)
-    kl = kl_ref[row]
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < kl, logits, jnp.float32(-1e30))
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = (out / denom).astype(o_ref.dtype)
+_VMEM_BUDGET = 14 * 1024 * 1024  # stay under the 16 MB scoped-vmem limit
 
 
-def _pad_axis(x, size, axis):
-    pad = size - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+def _pick_group(s_pad: int, lanes: int, n_blocks: int, n_transients: int) -> int:
+    """Largest rows-per-grid-step whose VMEM high-water fits the budget:
+    double-buffered (G, S, lanes) blocks + f32 (G, S, S) softmax transients."""
+    group = 8
+    while group > 1:
+        est = (
+            n_blocks * group * s_pad * lanes * 2 * 2
+            + n_transients * group * s_pad * s_pad * 4
+        )
+        if est <= _VMEM_BUDGET:
+            break
+        group //= 2
+    return group
+
+
+def _prep_qkv(qkv, heads, key_lens, lane_widths, n_transients):
+    """qkv (B, S, 3*H*Dh) -> padded + SMEM key-count vector + tile geometry."""
+    b, s, three_lanes = qkv.shape
+    lanes = three_lanes // 3
+    if lanes % 128 or lanes % heads:
+        raise ValueError(f"H*Dh = {lanes} must be a lane multiple divisible by heads")
+    # sublane (second-minor) alignment is 16 for bf16 — padding to 16 instead
+    # of 128 keeps the (S, S) logits work ~35% smaller at S=201
+    s_pad = max(128, _cdiv(s, 16) * 16)
+    group = min(_pick_group(s_pad, lanes, lane_widths, n_transients), b)
+    b_pad = _cdiv(b, group) * group
+    qkv_f = jnp.pad(qkv, ((0, b_pad - b), (0, s_pad - s), (0, 0)))
+    if key_lens is None:
+        kl = jnp.full((b_pad,), s, jnp.int32)
+    else:
+        kl = jnp.pad(key_lens.astype(jnp.int32), (0, b_pad - b), constant_values=s)
+    return qkv_f, kl, lanes, s_pad, b_pad, group
+
+
+def flash_attention_qkv(
+    qkv: jax.Array,
+    heads: int,
+    interpret: bool = False,
+    key_lens: jax.Array | None = None,
+) -> jax.Array:
+    """Packed-projection attention: qkv (B, S, 3*H*Dh) with [q|k|v] on the
+    lane axis (the raw in_proj layout) -> (B, S, H*Dh).
+
+    key_lens (B,) int32 (optional): per-sample count of valid keys; columns
+    >= key_lens[b] are excluded from the softmax (prefix masks only —
+    right-padded text)."""
+    b, s, _ = qkv.shape
+    qkv_f, kl, lanes, s_pad, b_pad, group = _prep_qkv(qkv, heads, key_lens, 4, 3)
+    dh = lanes // heads
+    scale = 1.0 / math.sqrt(dh)
+    grid = (b_pad // group,)
+    in_blk = pl.BlockSpec((group, s_pad, 3 * lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((group, s_pad, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, heads=heads, dh=dh, scale=scale),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), in_blk],
+        out_specs=out_blk,
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, lanes), qkv.dtype),
+        interpret=interpret,
+    )(kl, qkv_f)
+    return out[:b, :s, :]
+
+
+def _flash_attention_qkv_bwd(qkv, heads, key_lens, g, interpret=False):
+    """g (B, S, H*Dh) cotangent -> dqkv (B, S, 3*H*Dh)."""
+    b, s, _ = qkv.shape
+    qkv_f, kl, lanes, s_pad, b_pad, group = _prep_qkv(qkv, heads, key_lens, 7, 5)
+    dh = lanes // heads
+    scale = 1.0 / math.sqrt(dh)
+    gf = jnp.pad(g, ((0, b_pad - b), (0, s_pad - s), (0, 0)))
+    grid = (b_pad // group,)
+    in_blk = pl.BlockSpec((group, s_pad, 3 * lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    g_blk = pl.BlockSpec((group, s_pad, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, dh=dh, scale=scale),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), in_blk, g_blk],
+        out_specs=in_blk,
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, 3 * lanes), qkv.dtype),
+        interpret=interpret,
+    )(kl, qkv_f, gf)
+    return dqkv[:b, :s, :]
+
+
+def _pack_qkv(q, k, v):
+    b, s, h, d = q.shape
+    return jnp.concatenate([x.reshape(b, s, h * d) for x in (q, k, v)], axis=-1)
 
 
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    blk_q: int = 256,
     interpret: bool = False,
     key_lens: jax.Array | None = None,
 ) -> jax.Array:
-    """Multi-head attention: q/k/v (B, S, H, D) -> (B, S, H, D).
+    """Batched short-sequence multi-head attention over separate q/k/v.
 
-    key_lens (B,) int32 (optional): per-sample count of valid keys; columns
-    >= key_lens[b] are excluded from the softmax. Prefix masks only — the
-    fusion encoder's right-padded text produces exactly this shape of mask."""
+    q/k/v (B, S, H, D) -> (B, S, H, D). Packs into the kernel's [q|k|v]
+    lane layout (one concat copy — call flash_attention_qkv with the raw
+    in_proj output to avoid it)."""
     b, s, h, d = q.shape
-    scale = 1.0 / math.sqrt(d)
-    s_pad = max(128, -(-s // 128) * 128)
-    d_pad = max(128, -(-d // 128) * 128)
-    blk_q = min(blk_q, s_pad)
-    while s_pad % blk_q:
-        blk_q //= 2
+    out = flash_attention_qkv(
+        _pack_qkv(q, k, v), h, interpret=interpret, key_lens=key_lens
+    )
+    return out.reshape(b, s, h, d)
 
-    def fold(x):
-        x = jnp.swapaxes(x, 1, 2).reshape(b * h, s, d)
-        return _pad_axis(_pad_axis(x, s_pad, 1), d_pad, 2)
 
-    qf, kf, vf = fold(q), fold(k), fold(v)
-    grid = (b * h, s_pad // blk_q)
-    qkv_specs = [
-        pl.BlockSpec((1, blk_q, d_pad), lambda i, j: (i, j, 0)),
-        pl.BlockSpec((1, s_pad, d_pad), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((1, s_pad, d_pad), lambda i, j: (i, 0, 0)),
-    ]
-    out_spec = pl.BlockSpec((1, blk_q, d_pad), lambda i, j: (i, j, 0))
-    out_shape = jax.ShapeDtypeStruct((b * h, s_pad, d_pad), q.dtype)
-    if key_lens is None:
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel, scale=scale, true_len=s),
-            grid=grid,
-            in_specs=qkv_specs,
-            out_specs=out_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(qf, kf, vf)
-    else:
-        kl = jnp.repeat(key_lens.astype(jnp.int32), h)  # (b*h,)
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel_lens, scale=scale),
-            grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + qkv_specs,
-            out_specs=out_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(kl, qf, kf, vf)
-    out = out[:, :s, :d].reshape(b, h, s, d)
-    return jnp.swapaxes(out, 1, 2)
+def _flash_attention_bwd(q, k, v, key_lens, g, interpret=False):
+    b, s, h, d = q.shape
+    dqkv = _flash_attention_qkv_bwd(
+        _pack_qkv(q, k, v), h, key_lens, g.reshape(b, s, h * d), interpret=interpret
+    )
+    lanes = h * d
+    unfold = lambda x: x.reshape(b, s, h, d)
+    return (
+        unfold(dqkv[:, :, :lanes]),
+        unfold(dqkv[:, :, lanes : 2 * lanes]),
+        unfold(dqkv[:, :, 2 * lanes :]),
+    )
 
 
 def _f32_logits() -> bool:
@@ -180,6 +292,30 @@ def _xla_attention(q, k, v, key_mask=None):
     ).astype(q.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _attention_diff_qkv(qkv, key_lens, heads, interpret=False):
+    return flash_attention_qkv(qkv, heads, interpret=interpret, key_lens=key_lens)
+
+
+def _attention_qkv_fwd(qkv, key_lens, heads, interpret=False):
+    out = flash_attention_qkv(qkv, heads, interpret=interpret, key_lens=key_lens)
+    return out, (qkv, key_lens)
+
+
+def _attention_qkv_bwd(heads, interpret, res, g):
+    qkv, key_lens = res
+    dqkv = _flash_attention_qkv_bwd(qkv, heads, key_lens, g, interpret=interpret)
+    dkl = (
+        None
+        if key_lens is None
+        else np.zeros(key_lens.shape, jax.dtypes.float0)
+    )
+    return dqkv, dkl
+
+
+_attention_diff_qkv.defvjp(_attention_qkv_fwd, _attention_qkv_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _attention_diff(q, k, v, key_lens, interpret=False):
     return flash_attention(q, k, v, interpret=interpret, key_lens=key_lens)
@@ -191,37 +327,16 @@ def _attention_fwd(q, k, v, key_lens, interpret=False):
 
 
 def _attention_bwd(interpret, res, g):
-    """Recompute-based backward in plain XLA (softmax VJP), f32 accumulation.
-
-    The encoders call this inside rematerialized chunks, so the recomputed
-    (blk, S, S) probabilities are bounded by the chunk size."""
+    """Flash-attention backward: one fused kernel pass recomputes the
+    softmax per VMEM tile and emits dq/dk/dv — probabilities never hit HBM."""
     q, k, v, key_lens = res
-    d = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.float32(d))
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    if key_lens is not None:
-        col = jnp.arange(s.shape[-1])
-        s = jnp.where(
-            col[None, None, None, :] < key_lens[:, None, None, None],
-            s,
-            jnp.float32(-1e30),
-        )
-    p = jax.nn.softmax(s, axis=-1)
-    gf = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf, preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, v.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32),
-                    preferred_element_type=jnp.float32) * scale
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32),
-                    preferred_element_type=jnp.float32) * scale
+    dq, dk, dv = _flash_attention_bwd(q, k, v, key_lens, g, interpret=interpret)
     dkl = (
         None
         if key_lens is None
         else np.zeros(key_lens.shape, jax.dtypes.float0)
     )
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dkl
+    return dq, dk, dv, dkl
 
 
 _attention_diff.defvjp(_attention_fwd, _attention_bwd)
@@ -230,7 +345,7 @@ _attention_diff.defvjp(_attention_fwd, _attention_bwd)
 def _pallas_default() -> bool:
     import os
 
-    return os.environ.get("SAFEVLA_PALLAS_ATTN", "0") == "1"
+    return os.environ.get("SAFEVLA_PALLAS_ATTN", "1") == "1"
 
 
 def attention(
@@ -242,8 +357,7 @@ def attention(
     key_mask: jax.Array | None = None,
     key_lens: jax.Array | None = None,
 ) -> jax.Array:
-    """Dispatcher: pallas kernel (differentiable via a recompute backward) or
-    XLA attention.
+    """Dispatcher: pallas flash kernels (fwd + VJP) or XLA attention.
 
     q/k/v (B, S, H, D) -> (B, S, H, D); bidirectional encoder attention (the
     decoder paths keep their own masked attention). Key padding can come in
@@ -252,19 +366,56 @@ def attention(
       * key_lens (B,) int32 — prefix mask (right-padded text); both paths
         support it, so pallas stays eligible
 
-    Default is XLA: measured on v5e, XLA's fused attention beats this kernel
-    at the encoder shapes in play (seq 201-433, head dim 48-64 — the d<128
-    lane padding and per-q-block K/V reloads cost more than HBM logits save).
-    Set SAFEVLA_PALLAS_ATTN=1 to flip the default — the kernel pays off when
-    sequences grow past ~1k (bigger fusion token sets, higher-res cameras).
+    Default is the pallas kernel whenever its layout preconditions hold
+    (H*Dh a lane multiple, no arbitrary mask): measured on v5e at the
+    encoder shapes (seq 201-433, head_dim 64, batch 64-1536) the fused
+    kernel removes the (B, H, S, S) logits HBM round-trips that make XLA
+    attention ~50% of fusion-forward time. SAFEVLA_PALLAS_ATTN=0 restores
+    the XLA path everywhere (golden-parity comparisons use it together
+    with SAFEVLA_ATTN_F32_LOGITS=1).
     """
     if key_mask is not None and key_lens is not None:
         raise ValueError("pass key_mask or key_lens, not both")
     if use_pallas is None:
         use_pallas = _pallas_default()
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if use_pallas and (on_tpu or interpret) and key_mask is None:
+    lanes_ok = (q.shape[2] * q.shape[3]) % 128 == 0
+    if use_pallas and (on_tpu or interpret) and key_mask is None and lanes_ok:
         return _attention_diff(q, k, v, key_lens, interpret)
     if key_lens is not None:
         key_mask = jnp.arange(k.shape[1])[None, :] < key_lens[:, None]
     return _xla_attention(q, k, v, key_mask)
+
+
+def attention_qkv(
+    qkv: jax.Array,
+    heads: int,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    key_mask: jax.Array | None = None,
+    key_lens: jax.Array | None = None,
+) -> jax.Array:
+    """Packed-projection attention dispatcher: qkv (B, S, 3*H*Dh) with
+    [q|k|v] on the lane axis (raw in_proj layout) -> (B, S, H*Dh).
+
+    The preferred entry point for the encoder modules: the pallas path
+    consumes the projection output directly — no q/k/v split copies on the
+    way in and a single packed dqkv on the way back. Same dispatch rules as
+    `attention`."""
+    if key_mask is not None and key_lens is not None:
+        raise ValueError("pass key_mask or key_lens, not both")
+    b, s, three_lanes = qkv.shape
+    lanes = three_lanes // 3
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    lanes_ok = lanes % 128 == 0 and lanes % heads == 0
+    if use_pallas and (on_tpu or interpret) and key_mask is None and lanes_ok:
+        return _attention_diff_qkv(qkv, key_lens, heads, interpret)
+    dh = lanes // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    fold = lambda x: x.reshape(b, s, heads, dh)
+    if key_lens is not None:
+        key_mask = jnp.arange(s)[None, :] < key_lens[:, None]
+    out = _xla_attention(fold(q), fold(k), fold(v), key_mask)
+    return out.reshape(b, s, lanes)

@@ -17,7 +17,8 @@ SHAPES = [
     (3, 201, 8, 64),  # fusion transformer tokens
     (1, 433, 6, 64),  # DINOv2-S patch tokens (+cls)
     (2, 128, 4, 64),  # aligned
-    (2, 30, 2, 100),  # tiny, odd head dim
+    (2, 30, 2, 64),  # tiny, odd seq; smallest lane-compatible head layout
+    (5, 64, 4, 96),  # batch not divisible by the kernel row group
 ]
 
 
@@ -56,6 +57,20 @@ def test_bf16_io():
     ref = _xla_attention(q, k, v)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )
+
+
+def test_packed_qkv_matches_separate():
+    """attention_qkv on the [q|k|v] lane layout == flash_attention on splits."""
+    from safevla_tpu.ops.flash_attention import flash_attention_qkv
+
+    b, s, h, d = 3, 50, 4, 64
+    q, k, v = _qkv((b, s, h, d), seed=7)
+    qkv = jnp.concatenate([x.reshape(b, s, h * d) for x in (q, k, v)], axis=-1)
+    ref = flash_attention(q, k, v, interpret=True)
+    got = flash_attention_qkv(qkv, h, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref).reshape(b, s, h * d), atol=1e-6
     )
 
 
