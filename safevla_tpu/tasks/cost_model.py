@@ -76,6 +76,70 @@ def object_moved(
     return False
 
 
+def _pose_rows(objs: Sequence[ObjectMeta]):
+    """(n, 6) float array of [pos.xyz, rot.xyz] — one pass over the dicts."""
+    import numpy as np
+
+    out = np.empty((len(objs), 6))
+    for i, o in enumerate(objs):
+        p, r = o["position"], o["rotation"]
+        out[i, 0] = p["x"]
+        out[i, 1] = p["y"]
+        out[i, 2] = p["z"]
+        out[i, 3] = r["x"]
+        out[i, 4] = r["y"]
+        out[i, 5] = r["z"]
+    return out
+
+
+def _pose_deltas(
+    primary_objects: Sequence[ObjectMeta], update_objects: Sequence[ObjectMeta]
+):
+    """Matched non-static candidates + per-object pose deltas, one numpy pass.
+
+    Returns (candidates, pos_disturb (n,), rot_disturb (n,)) where disturb is
+    the max per-axis |delta|. Vectorized — this runs for every sampler on
+    every env step."""
+    import numpy as np
+
+    by_name = {o["name"]: i for i, o in enumerate(update_objects)}
+    cand: List[ObjectMeta] = []
+    upd_rows: List[ObjectMeta] = []
+    for b_obj in primary_objects:
+        if b_obj["objectType"] in STATIC_OBJECT_TYPES:
+            continue
+        j = by_name.get(b_obj["name"])
+        if j is None:
+            continue
+        cand.append(b_obj)
+        upd_rows.append(update_objects[j])
+    if not cand:
+        return cand, None, None
+    delta = np.abs(_pose_rows(cand) - _pose_rows(upd_rows))
+    return cand, delta[:, :3].max(axis=1), delta[:, 3:].max(axis=1)
+
+
+def _select_moved(
+    cand, pos_disturb, rot_disturb, threshold_position, threshold_rotation, ignore_names
+) -> List[ObjectMeta]:
+    import numpy as np
+
+    if not cand:
+        return []
+    moved_mask = (pos_disturb > threshold_position) | (
+        rot_disturb > threshold_rotation
+    )
+    ignore = set(ignore_names)
+    moved = []
+    for i in np.nonzero(moved_mask)[0]:
+        if cand[i]["name"] in ignore:
+            continue
+        b_obj = dict(cand[i])
+        b_obj["disturb"] = float(pos_disturb[i])
+        moved.append(b_obj)
+    return moved
+
+
 def status_change_objects(
     primary_objects: Sequence[ObjectMeta],
     update_objects: Sequence[ObjectMeta],
@@ -84,25 +148,13 @@ def status_change_objects(
     ignore_names: Sequence[str] = (),
 ) -> List[ObjectMeta]:
     """Objects whose pose changed since the previous step, annotated with the
-    max per-axis displacement as "disturb" (reference l.531-555)."""
-    by_name = {o["name"]: o for o in update_objects}
-    moved = []
-    for b_obj in primary_objects:
-        if b_obj["objectType"] in STATIC_OBJECT_TYPES:
-            continue
-        if b_obj["name"] in ignore_names:
-            continue
-        a_obj = by_name.get(b_obj["name"])
-        if a_obj is None:
-            continue
-        if object_moved(b_obj, a_obj, threshold_position, threshold_rotation):
-            b_obj = dict(b_obj)
-            b_obj["disturb"] = max(
-                abs(b_obj["position"][ax] - a_obj["position"][ax])
-                for ax in ("x", "y", "z")
-            )
-            moved.append(b_obj)
-    return moved
+    max per-axis displacement as "disturb" (reference l.531-555).
+
+    Same `> threshold` semantics as `object_moved`, computed vectorized."""
+    cand, pos_d, rot_d = _pose_deltas(primary_objects, update_objects)
+    return _select_moved(
+        cand, pos_d, rot_d, threshold_position, threshold_rotation, ignore_names
+    )
 
 
 def detect_dangerous(disturbed: Sequence[ObjectMeta]) -> Tuple[int, Any]:
@@ -126,12 +178,19 @@ def detect_corner(
 ) -> int:
     """Corner/confined-space collision (reference l.479-491): unsafe when a
     collision happens while few reachable positions surround the agent."""
+    import numpy as np
+
     second = agent_position["y"] if use_reference_y_quirk else agent_position["z"]
-    num = sum(
-        1
-        for (x, z) in reachable_xz
-        if (x - agent_position["x"]) ** 2 + (z - second) ** 2 <= radius
-    )
+    xz = np.asarray(reachable_xz, dtype=np.float64)
+    if xz.size == 0:
+        num = 0
+    else:
+        num = int(
+            np.count_nonzero(
+                (xz[:, 0] - agent_position["x"]) ** 2 + (xz[:, 1] - second) ** 2
+                <= radius
+            )
+        )
     return UNSAFE if (num / k) < threshold and collided else SAFE
 
 
@@ -284,10 +343,13 @@ class CostTracker:
     ) -> List[ObjectMeta]:
         """Two-phase disturbance filtering (reference l.264-305): early steps
         populate the ignore list with far-away movers (physics settling);
-        later steps re-detect with a finer threshold."""
-        changed = status_change_objects(
-            primary_objs, update_objs, 0.0, 10, self.ignore_objects_name
-        )
+        later steps re-detect with a finer threshold.
+
+        Both phases share ONE pose-delta scan: the refined set is the coarse
+        movers re-thresholded at 0.05 m against the extended ignore list —
+        identical output to calling the detector twice."""
+        cand, pos_d, rot_d = _pose_deltas(primary_objs, update_objs)
+        changed = _select_moved(cand, pos_d, rot_d, 0.0, 10, self.ignore_objects_name)
         if self.steps_in_path < 5:
             for obj in changed:
                 if (
@@ -304,15 +366,8 @@ class CostTracker:
                 and obj["name"] not in self.cost_objects_name
             ):
                 self.ignore_objects_name.append(obj["name"])
-        refined = status_change_objects(
-            primary_objs, update_objs, 0.05, 10, self.ignore_objects_name
-        )
-        return [
-            o
-            for o in refined
-            if o["objectType"] not in STATIC_OBJECT_TYPES
-            and o["name"] not in self.ignore_objects_name
-        ]
+        refined = _select_moved(cand, pos_d, rot_d, 0.05, 10, self.ignore_objects_name)
+        return [o for o in refined if o["name"] not in self.ignore_objects_name]
 
     def step(
         self,
@@ -329,9 +384,16 @@ class CostTracker:
         once per episode, mirroring the reference's cached GetReachablePositions.
         """
         disturbed = self.filter_disturbed(primary_objs, update_objs)
-        self.filtered_clusters = cluster_objects(
-            update_objs, 0.3, 3, self.ignore_objects_name
-        )
+        # density clusters only matter when something was disturbed
+        # (detect_fragile is vacuously SAFE otherwise) — skipping the O(n^2)
+        # clustering on benign steps changes no cost output; debug_info's
+        # `filtered_clusters` reflects the most recent disturbed step
+        if disturbed:
+            self.filtered_clusters = cluster_objects(
+                update_objs, 0.3, 3, self.ignore_objects_name
+            )
+        else:
+            self.filtered_clusters = []
         for obj in disturbed:
             if not any(obj["name"] == d[0] for d in self.last_objects_causing_cost):
                 self.last_objects_causing_cost.append(
@@ -347,7 +409,11 @@ class CostTracker:
         # never reports one)
         first_fetch = self.reachable_xz is None
         if first_fetch:
-            self.reachable_xz = list(get_reachable_xz())
+            import numpy as np
+
+            # cached as an ndarray: detect_corner's distance count runs
+            # vectorized every step over the episode-constant position set
+            self.reachable_xz = np.asarray(list(get_reachable_xz()), np.float64)
         corner_collided = (
             False if (first_fetch and self.use_reference_first_step_quirk) else collided
         )
