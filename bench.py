@@ -71,45 +71,38 @@ def main():
     runner = RolloutRunner(policy, cfg, pool, seed=0, overlap_groups=overlap)
 
     if use_async:
-        # async rollout/update pipeline: window k-1's PPO epochs interleave
-        # with window k's act programs on the chip (see training/online.py)
-        import jax.numpy as jnp
+        # async rollout/update pipeline: window k-1's update runs as
+        # chunk-sized programs woven between window k's act programs, one per
+        # time step after that step's acts (see training/online.py)
+        state = {"it": None, "ts": ts, "result": None}
 
-        reps = cfg.ppo.update_repeats
-        prepare, epoch = learner.split_update_fns(1)
-        points = sorted({((i + 1) * T) // (reps + 1) for i in range(reps)})
-        state = {"prev": None, "ts": ts}
+        def pump(it) -> bool:
+            try:
+                next(it)
+                return False
+            except StopIteration as stop:
+                state["result"] = stop.value
+                return True
 
         def iteration(_unused):
             tsl = state["ts"]
-            pend = {"tp": tsl.tower_params, "opt": tsl.opt_state, "i": 0, "m": None}
-            prev = state["prev"]
+            it = state["it"]
+            done = {"v": it is None}
 
             def interleave(t):
-                if prev is None or pend["i"] >= reps:
-                    return
-                if t in points:
-                    mb, lam = prev
-                    pend["tp"], pend["opt"], pend["m"] = epoch(
-                        pend["tp"], pend["opt"], tsl.frozen_params, mb, lam
-                    )
-                    pend["i"] += 1
+                if not done["v"]:
+                    done["v"] = pump(it)
 
             params = {"towers": tsl.tower_params, **tsl.frozen_params}
             batch, stats = runner.collect(params, T, interleave_fn=interleave)
-            if prev is not None:
-                mb, lam = prev
-                while pend["i"] < reps:
-                    pend["tp"], pend["opt"], pend["m"] = epoch(
-                        pend["tp"], pend["opt"], tsl.frozen_params, mb, lam
-                    )
-                    pend["i"] += 1
-                state["ts"] = tsl._replace(tower_params=pend["tp"], opt_state=pend["opt"])
-                jax.block_until_ready(pend["m"]["total"])
-            mb, lag, lam = prepare(
-                state["ts"], batch, jnp.asarray(stats["mean_episode_cost"], jnp.float32)
+            if it is not None:
+                while not done["v"]:
+                    done["v"] = pump(it)
+                state["ts"], metrics = state["result"]
+                float(metrics["total"])  # force materialization
+            state["it"] = learner.iter_chunked_update(
+                state["ts"], batch, stats["mean_episode_cost"], 1
             )
-            state["prev"] = (mb, lam)
             return state["ts"], stats
     else:
         update_seconds = []

@@ -25,6 +25,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -154,8 +155,13 @@ class Learner:
         )
 
     def _loss_fn(self, tower_params, frozen_params, batch, lam, stage: StageSpec):
-        ppo = self.cfg.ppo
         out = self._forward(tower_params, frozen_params, batch)
+        return self._loss_from_outputs(out, batch, lam, stage)
+
+    def _loss_from_outputs(self, out, batch, lam, stage: StageSpec):
+        """Stage-weighted losses given policy outputs (shared by the
+        monolithic epoch and the chunk-decomposed async pipeline)."""
+        ppo = self.cfg.ppo
         metrics = {}
 
         adv = batch["advantages"]
@@ -361,6 +367,179 @@ class Learner:
         if key not in self._update_fns:
             self._update_fns[key] = self._make_split_update(key[1])
         return self._update_fns[key]
+
+    # ------------------------------------------------------------------
+    # chunk-granular update: the PPO epoch decomposed into many small
+    # device programs (fusion fwd per chunk -> one decoder fwd+bwd ->
+    # fusion VJP per chunk -> optimizer apply). Functionally identical to
+    # `update` (same remat structure, same accumulation order), but each
+    # program runs ~70-270 ms on-device, so the async pipeline can weave
+    # them into the rollout's device-idle gaps without stalling the
+    # latency-sensitive act/fetch path the way whole-epoch programs did.
+    # ------------------------------------------------------------------
+    def _make_chunked_fns(self, stage_id: int, chunk: int, bwd_chunk: int):
+        stage = self.stage_specs[min(stage_id, len(self.stage_specs) - 1)]
+        policy = self.policy
+
+        def embed_chunk(tower_params, frozen_params, mb, start, obs_buf):
+            params = {"towers": tower_params, **frozen_params}
+            emb = policy.embed_flat_range(
+                params,
+                mb["dino_nav"],
+                mb.get("dino_manip"),
+                mb["text_hidden"],
+                mb["text_mask"],
+                mb.get("text_idx"),
+                start,
+                chunk,
+            )
+            return jax.lax.dynamic_update_slice_in_dim(
+                obs_buf, emb.astype(obs_buf.dtype), start, axis=1
+            )
+
+        def decoder_grad(tower_params, mb, obs_buf, lam):
+            b, t = mb["prev_actions"].shape
+
+            def loss_part(tp, buf):
+                obs = buf.reshape(buf.shape[0], b, t, buf.shape[-1])
+                out = policy.decode_from_embeds(
+                    {"towers": tp},
+                    obs,
+                    mb["prev_actions"],
+                    mb["not_reset"],
+                    mb.get("object_in_hand"),
+                    mb["time_step"],
+                    mb["traj_idx"],
+                )
+                return self._loss_from_outputs(out, mb, lam, stage)
+
+            (loss, metrics), (d_tp, d_obs) = jax.value_and_grad(
+                loss_part, argnums=(0, 1), has_aux=True
+            )(tower_params, obs_buf)
+            return d_obs, d_tp, metrics
+
+        def fusion_bwd_chunk(tower_params, frozen_params, mb, start, d_obs, grad_acc):
+            # the VJP holds the fwd residuals of its whole range in HBM
+            # (~qkv + FFN hidden per layer), so the backward runs at a
+            # smaller range than the residual-free forward sweep — this is
+            # what lets the async pipeline coexist with the rollout's
+            # working set in 16 GB
+            def primal(tp):
+                return policy.embed_flat_range(
+                    {"towers": tp, **frozen_params},
+                    mb["dino_nav"],
+                    mb.get("dino_manip"),
+                    mb["text_hidden"],
+                    mb["text_mask"],
+                    mb.get("text_idx"),
+                    start,
+                    bwd_chunk,
+                )
+
+            _, vjp = jax.vjp(primal, tower_params)
+            d_chunk = jax.lax.dynamic_slice_in_dim(d_obs, start, bwd_chunk, axis=1)
+            (g,) = vjp(d_chunk.astype(jnp.float32))
+            return jax.tree.map(jnp.add, grad_acc, g)
+
+        def apply(tower_params, opt_state, fusion_grads, decoder_grads):
+            grads = jax.tree.map(jnp.add, fusion_grads, decoder_grads)
+            extra = {
+                "grad_norm": optax.global_norm(grads),
+                "weight_norm": optax.global_norm(tower_params),
+            }
+            updates, opt_state = self.tx.update(grads, opt_state, tower_params)
+            tower_params = optax.apply_updates(tower_params, updates)
+            return tower_params, opt_state, extra
+
+        def zeros_grads(tower_params):
+            return jax.tree.map(jnp.zeros_like, tower_params)
+
+        prepare, _ = self.split_update_fns(stage_id)
+        return {
+            "prepare": prepare,
+            "embed_chunk": jax.jit(embed_chunk, donate_argnums=(4,)),
+            "decoder_grad": jax.jit(decoder_grad),
+            "fusion_bwd_chunk": jax.jit(fusion_bwd_chunk, donate_argnums=(5,)),
+            "apply": jax.jit(apply),
+            "zeros_grads": jax.jit(zeros_grads),
+        }
+
+    def chunked_update_fns(self, stage_id: int, chunk: int, bwd_chunk: int):
+        key = (
+            "chunked",
+            min(int(stage_id), len(self.stage_specs) - 1),
+            chunk,
+            bwd_chunk,
+        )
+        if key not in self._update_fns:
+            self._update_fns[key] = self._make_chunked_fns(key[1], chunk, bwd_chunk)
+        return self._update_fns[key]
+
+    def iter_chunked_update(
+        self, train_state: TrainState, batch, mean_episode_cost, stage_id: int
+    ):
+        """Generator form of `update`: yields once after enqueueing each
+        device program (all dispatches are async), and returns
+        (new_train_state, metrics) via StopIteration.value. The async
+        trainer drives one program per env step; draining the generator in
+        a tight loop reproduces the monolithic update's schedule."""
+        b, t = np.shape(batch["prev_actions"])
+        n = b * t
+        chunk = min(self.cfg.model.fusion_chunk or n, n)
+        while n % chunk:
+            chunk -= 1
+        n_chunks = n // chunk
+        bwd_chunk = max(chunk // 2, 1)
+        while n % bwd_chunk:
+            bwd_chunk -= 1
+        n_bwd_chunks = n // bwd_chunk
+        fns = self.chunked_update_fns(stage_id, chunk, bwd_chunk)
+
+        mb, lagrange, lam = fns["prepare"](
+            train_state, batch, jnp.asarray(mean_episode_cost, jnp.float32)
+        )
+        yield
+        tp, opt_state = train_state.tower_params, train_state.opt_state
+        frozen = train_state.frozen_params
+        towers = self.policy.num_towers
+        d_model = self.cfg.model.hidden_size
+        metrics = None
+        for _ in range(self.cfg.ppo.update_repeats):
+            obs_buf = jnp.zeros((towers, n, d_model), jnp.float32)
+            for c in range(n_chunks):
+                obs_buf = fns["embed_chunk"](tp, frozen, mb, c * chunk, obs_buf)
+                yield
+            d_obs, g_dec, metrics = fns["decoder_grad"](tp, mb, obs_buf, lam)
+            yield
+            g_acc = fns["zeros_grads"](tp)
+            for c in range(n_bwd_chunks):
+                g_acc = fns["fusion_bwd_chunk"](
+                    tp, frozen, mb, c * bwd_chunk, d_obs, g_acc
+                )
+                yield
+            tp, opt_state, extra = fns["apply"](tp, opt_state, g_acc, g_dec)
+            metrics = {**metrics, **extra}
+            yield
+        metrics["lagrange_multiplier"] = lam
+        metrics["mean_episode_cost"] = jnp.asarray(mean_episode_cost, jnp.float32)
+        new_state = TrainState(
+            tower_params=tp,
+            frozen_params=frozen,
+            opt_state=opt_state,
+            lagrange=lagrange,
+            step=train_state.step + b * t,
+        )
+        return new_state, metrics
+
+    def chunked_update(self, train_state, batch, mean_episode_cost, stage_id: int):
+        """Drain `iter_chunked_update` eagerly — the synchronous entry point
+        (used by tests to check equivalence with `update`)."""
+        it = self.iter_chunked_update(train_state, batch, mean_episode_cost, stage_id)
+        while True:
+            try:
+                next(it)
+            except StopIteration as stop:
+                return stop.value
 
     # ------------------------------------------------------------------
     def stage_for_step(self, step: int) -> int:

@@ -523,6 +523,9 @@ class SafeVLAPolicy:
             time_step,
             attn_mask,
         )
+        return self._package_outputs(logits, values, value_logits, sg)
+
+    def _package_outputs(self, logits, values, value_logits, sg) -> PolicyOutputs:
         if self.num_towers >= 3:
             return PolicyOutputs(
                 logits=logits[0],
@@ -542,6 +545,83 @@ class SafeVLAPolicy:
             stop_grad_values=sg[0] if sg is not None else None,
             extras={},
         )
+
+    # -------------- chunk-granular update decomposition --------------
+    # The async training pipeline dispatches the PPO epoch as many small
+    # device programs woven between rollout act steps (algo/learner.py
+    # chunked_update_fns). These methods expose the same math as
+    # forward_seq at chunk granularity: fusion embedding over a flat-index
+    # range, and the decoder+heads over a precomputed embedding buffer.
+
+    def _chunk_text(self, text_hidden, text_mask, text_idx, b, t, start, chunk):
+        """Per-step instruction encodings for flat samples [start, start+chunk).
+
+        Resolves the same three layouts as forward_seq, but gathers only the
+        requested range (the table gather would otherwise materialize the
+        full (B*T, L, D) text tensor per call)."""
+        if text_idx is not None:
+            ti = jax.lax.dynamic_slice_in_dim(text_idx.reshape(-1), start, chunk, 0)
+            rows = (start + jnp.arange(chunk)) // t
+            return text_hidden[rows, ti], text_mask[rows, ti]
+        if text_hidden.ndim == 4:
+            n = b * t
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(
+                x.reshape((n,) + x.shape[2:]), start, chunk, 0
+            )
+            return sl(text_hidden), sl(text_mask)
+        rows = (start + jnp.arange(chunk)) // t
+        return text_hidden[rows], text_mask[rows]
+
+    def embed_flat_range(
+        self,
+        params,
+        dino_nav,
+        dino_manip,
+        text_hidden,
+        text_mask,
+        text_idx,
+        start,
+        chunk: int,
+    ):
+        """Fusion embeddings for flat samples [start, start+chunk) of the
+        (B, T) window -> (towers, chunk, D) f32. `start` may be traced; one
+        compiled program serves every chunk."""
+        b, t = dino_nav.shape[:2]
+        n = b * t
+        flat = lambda x: x.reshape((n,) + x.shape[2:])
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk, 0)
+        dn = sl(flat(dino_nav))
+        dm = sl(flat(dino_manip)) if dino_manip is not None else None
+        th, tm = self._chunk_text(text_hidden, text_mask, text_idx, b, t, start, chunk)
+
+        def one_tower(tp):
+            return self.tower.apply(tp, dn, dm, th, tm, method=PolicyTower.embed_obs)
+
+        return jax.vmap(one_tower)(params["towers"])
+
+    def decode_from_embeds(
+        self,
+        params,
+        obs_embeds,  # (towers, B, T, D) f32 — output of embed_flat_range calls
+        prev_actions,
+        not_reset,
+        object_in_hand,
+        time_step,
+        traj_idx,
+    ) -> PolicyOutputs:
+        """Decoder + heads over a precomputed fusion-embedding buffer."""
+        attn_mask = packed_block_causal_mask(traj_idx)
+
+        def one_tower(tp, emb):
+            return self.tower.apply(
+                tp, emb, prev_actions, not_reset, object_in_hand, time_step,
+                attn_mask, method=PolicyTower.decode_heads,
+            )
+
+        logits, values, value_logits, sg = jax.vmap(one_tower, in_axes=(0, 0))(
+            params["towers"], obs_embeds
+        )
+        return self._package_outputs(logits, values, value_logits, sg)
 
     def act_step(
         self,

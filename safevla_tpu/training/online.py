@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from safevla_tpu.algo.lagrange import multiplier_value
 from safevla_tpu.algo.learner import Learner, TrainState
 from safevla_tpu.config import Config
 from safevla_tpu.models.actor_critic import SafeVLAPolicy
@@ -169,69 +168,62 @@ class OnlineTrainer:
     ) -> TrainState:
         """Async rollout/update pipeline (opt-in; SURVEY §7 step 8).
 
-        While window k is collected, window k-1's PPO epochs run on the chip:
-        the rollout's interleave hook enqueues one epoch program between act
-        programs, so training compute fills the device-idle slices created by
-        simulator stepping. Parameters therefore apply with a one-window
-        delay (standard async-PPO semantics: each window IS collected by the
-        same parameters its update starts from, so the clipped ratios remain
-        exact; only the application of the new parameters shifts by one
-        window). Throughput approaches max(rollout_wall, update_wall) instead
-        of their sum — the bigger the simulator share, the bigger the win.
+        While window k is collected, window k-1's update runs on the chip as
+        a sequence of CHUNK-SIZED programs (learner.iter_chunked_update:
+        fusion fwd per chunk -> decoder fwd+bwd -> fusion VJP per chunk ->
+        apply; ~70-270 ms each). The rollout's interleave hook dispatches one
+        program per time step, AFTER that step's act programs — device FIFO
+        order then guarantees the latency-sensitive action fetches never wait
+        behind update work, while the update fills the device-idle slices
+        simulator stepping creates. (Whole-epoch programs — the previous
+        design — stalled the act path for seconds per insertion and held an
+        extra window of remat working set, OOMing 16 GB at fusion_chunk=512;
+        per-chunk programs fix both.) Parameters apply with a one-window
+        delay; each window's update starts from the parameters produced by
+        the previous window's update (stale-by-one async PPO). Throughput
+        approaches max(rollout_wall, rollout_busy + update_busy) instead of
+        rollout_wall + update_wall.
         """
         cfg = self.cfg
         ts = train_state if train_state is not None else self.init_state()
         total = total_steps if total_steps is not None else cfg.train.total_steps
         last_save = int(ts.step)
         t_start = time.time()
-        reps = cfg.ppo.update_repeats
         T = cfg.ppo.num_steps
-        B = self.pool.num_streams
-        # dispatch epoch i of the previous window after time step points[i]
-        points = sorted({((i + 1) * T) // (reps + 1) for i in range(reps)})
 
-        # (mb, lagrange, lam, stage_id, epoch_fn) of the window being trained.
-        # The epoch fn is captured at prepare time so a window straddling a
-        # stage transition still trains under ITS OWN stage's loss weights.
-        prev = None
+        prev = None  # (generator, stage_id) of the window being trained
+        box = {"result": None}
         act_params = {"towers": ts.tower_params, **ts.frozen_params}
+
+        def pump(it) -> bool:
+            """Advance the update generator one program; True when finished."""
+            try:
+                next(it)
+                return False
+            except StopIteration as stop:
+                box["result"] = stop.value
+                return True
 
         while int(ts.step) < total:
             stage = self.learner.stage_for_step(int(ts.step))
+            done = {"v": prev is None}
 
-            pend = {"tp": ts.tower_params, "opt": ts.opt_state, "i": 0, "m": None}
+            def interleave(t, done=done, prev=prev):
+                if not done["v"]:
+                    done["v"] = pump(prev[0])
 
-            def interleave(t, pend=pend, prev=prev):
-                if prev is None or pend["i"] >= reps:
-                    return
-                if t in points:
-                    mb, _, lam, _, epoch_fn = prev
-                    pend["tp"], pend["opt"], pend["m"] = epoch_fn(
-                        pend["tp"], pend["opt"], ts.frozen_params, mb, lam
-                    )
-                    pend["i"] += 1
-
-            batch, roll_stats = self.runner.collect(act_params, T, interleave_fn=interleave)
+            batch, roll_stats = self.runner.collect(
+                act_params, T, interleave_fn=interleave
+            )
 
             if prev is not None:
-                mb, lagrange, lam, prev_stage, epoch_fn = prev
-                while pend["i"] < reps:  # finish any undispatched epochs
-                    pend["tp"], pend["opt"], pend["m"] = epoch_fn(
-                        pend["tp"], pend["opt"], ts.frozen_params, mb, lam
-                    )
-                    pend["i"] += 1
-                ts = TrainState(
-                    tower_params=pend["tp"],
-                    frozen_params=ts.frozen_params,
-                    opt_state=pend["opt"],
-                    lagrange=lagrange,
-                    step=ts.step + B * T,
-                )
+                while not done["v"]:  # finish any undispatched programs
+                    done["v"] = pump(prev[0])
+                ts, metrics_dev = box["result"]
                 act_params = {"towers": ts.tower_params, **ts.frozen_params}
-                metrics = {k: float(v) for k, v in pend["m"].items()}
-                metrics["lagrange_multiplier"] = float(multiplier_value(lagrange))
+                metrics = {k: float(v) for k, v in metrics_dev.items()}
                 step_now = int(ts.step)
-                log = {"stage": prev_stage, "async": True, **metrics, **roll_stats}
+                log = {"stage": prev[1], "async": True, **metrics, **roll_stats}
                 for m in self.runner.pop_metrics():
                     self.episode_accum.add(m)
                 ep_means = self.episode_accum.means()
@@ -243,14 +235,24 @@ class OnlineTrainer:
                     last_save = step_now
                     print(f"saved checkpoint {path}")
 
-            prepare, epoch = self.learner.split_update_fns(stage)
-            mb, lagrange, lam = prepare(
-                ts, batch, jnp.asarray(roll_stats["mean_episode_cost"], jnp.float32)
+            # window just collected: its update (captured with ITS stage)
+            # runs while the next window is collected
+            prev = (
+                self.learner.iter_chunked_update(
+                    ts, batch, roll_stats["mean_episode_cost"], stage
+                ),
+                stage,
             )
-            prev = (mb, lagrange, lam, stage, epoch)
 
             if max_wall_seconds and time.time() - t_start > max_wall_seconds:
                 break
+        # drain the in-flight update so the returned state reflects all
+        # collected windows
+        if prev is not None:
+            done_v = False
+            while not done_v:
+                done_v = pump(prev[0])
+            ts, _ = box["result"]
         return ts
 
     def close(self):

@@ -189,3 +189,35 @@ def test_imitation_requires_signal(tiny_model_cfg, tiny_policy):
     ts = learner.init(jax.random.PRNGKey(0))
     with pytest.raises(KeyError, match="expert_pickupable"):
         learner.update(ts, _batch(tiny_model_cfg), 0.0, 0)
+
+
+def test_chunked_update_matches_monolithic(tiny_model_cfg, tiny_policy):
+    """The chunk-decomposed update (async pipeline's program sequence) must
+    produce the same params/metrics as the single jitted update."""
+    import dataclasses
+
+    from safevla_tpu.algo.learner import Learner
+
+    cfg = Config()
+    # 4 fusion chunks over the (B=4, T=8) window
+    cfg.model = dataclasses.replace(tiny_model_cfg, fusion_chunk=8)
+    cfg.ppo.update_repeats = 2
+    learner = Learner(tiny_policy, cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    batch = _batch(tiny_model_cfg)
+
+    ts_mono, m_mono = learner.update(ts, batch, 1.5, 1)
+    ts_chunk, m_chunk = learner.chunked_update(ts, batch, 1.5, 1)
+
+    leaves_a = jax.tree.leaves(ts_mono.tower_params)
+    leaves_b = jax.tree.leaves(ts_chunk.tower_params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+    for k in ("total", "action", "value", "c_value", "grad_norm"):
+        np.testing.assert_allclose(
+            float(m_mono[k]), float(m_chunk[k]), atol=1e-4, rtol=2e-3
+        )
+    assert float(ts_chunk.lagrange.multiplier) == pytest.approx(
+        float(ts_mono.lagrange.multiplier)
+    )
+    assert int(ts_chunk.step) == int(ts_mono.step)

@@ -138,6 +138,31 @@ def test_online_trainer_short_run(tiny_cfg, tmp_path):
     trainer.close()
 
 
+def test_online_trainer_async_pipeline(tiny_cfg, tmp_path):
+    """Async mode: window k-1's update programs interleave with window k's
+    collection; the final state must reflect every collected window."""
+    from safevla_tpu.training.online import OnlineTrainer
+
+    cfg = tiny_cfg
+    cfg.train.output_dir = str(tmp_path)
+    cfg.train.save_interval = 10_000_000
+    logs = []
+    trainer = OnlineTrainer(
+        cfg,
+        make_sampler_factory(max_steps=5),
+        num_workers=0,
+        log_fn=lambda m, s: logs.append((s, m)),
+        async_pipeline=True,
+    )
+    window = cfg.ppo.num_steps * cfg.train.num_train_processes
+    ts = trainer.train(total_steps=2 * window)
+    # the drain at exit applies the in-flight window's update too
+    assert int(ts.step) >= 2 * window
+    assert any(m.get("async") for _, m in logs)
+    assert all(np.isfinite(m["total"]) for _, m in logs if "total" in m)
+    trainer.close()
+
+
 def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
     from safevla_tpu.algo.learner import Learner
     from safevla_tpu.models.actor_critic import SafeVLAPolicy
