@@ -53,7 +53,7 @@ def main():
     cfg.train.num_train_processes = B
     cfg.ppo.num_steps = T
     cfg.train.max_steps = 500
-    cfg.model.fusion_chunk = int(os.environ.get("BENCH_FUSION_CHUNK", "512"))
+    cfg.model.fusion_chunk = int(os.environ.get("BENCH_FUSION_CHUNK", "128"))
 
     # FakeController environments at the production camera resolution
     from tests.test_rollout_training import make_sampler_factory
@@ -84,13 +84,17 @@ def main():
                 state["result"] = stop.value
                 return True
 
+        pump_k = max(1, -(-learner.chunked_program_count(B * T) // T))
+
         def iteration(_unused):
             tsl = state["ts"]
             it = state["it"]
             done = {"v": it is None}
 
             def interleave(t):
-                if not done["v"]:
+                for _ in range(pump_k):
+                    if done["v"]:
+                        break
                     done["v"] = pump(it)
 
             params = {"towers": tsl.tower_params, **tsl.frozen_params}

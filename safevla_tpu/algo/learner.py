@@ -475,6 +475,22 @@ class Learner:
             self._update_fns[key] = self._make_chunked_fns(key[1], chunk, bwd_chunk)
         return self._update_fns[key]
 
+    def chunk_sizes(self, n: int) -> Tuple[int, int]:
+        """(fwd_chunk, bwd_chunk) actually used for an n-sample window."""
+        chunk = min(self.cfg.model.fusion_chunk or n, n)
+        while n % chunk:
+            chunk -= 1
+        bwd_chunk = max(chunk // 2, 1)
+        while n % bwd_chunk:
+            bwd_chunk -= 1
+        return chunk, bwd_chunk
+
+    def chunked_program_count(self, n: int) -> int:
+        """Device programs iter_chunked_update dispatches for an n-sample
+        window — the async driver paces `ceil(count / T)` per env step."""
+        chunk, bwd_chunk = self.chunk_sizes(n)
+        return 1 + self.cfg.ppo.update_repeats * (n // chunk + n // bwd_chunk + 2)
+
     def iter_chunked_update(
         self, train_state: TrainState, batch, mean_episode_cost, stage_id: int
     ):
@@ -485,13 +501,8 @@ class Learner:
         a tight loop reproduces the monolithic update's schedule."""
         b, t = np.shape(batch["prev_actions"])
         n = b * t
-        chunk = min(self.cfg.model.fusion_chunk or n, n)
-        while n % chunk:
-            chunk -= 1
+        chunk, bwd_chunk = self.chunk_sizes(n)
         n_chunks = n // chunk
-        bwd_chunk = max(chunk // 2, 1)
-        while n % bwd_chunk:
-            bwd_chunk -= 1
         n_bwd_chunks = n // bwd_chunk
         fns = self.chunked_update_fns(stage_id, chunk, bwd_chunk)
 

@@ -60,8 +60,11 @@ class ModelConfig:
 
     # update-time fusion encoder is per-step independent: process the packed
     # (B*T) batch in chunks of this size under rematerialization so the
-    # fusion attention never materializes for the whole window at once
-    fusion_chunk: int = 512
+    # per-chunk VJP residuals stay bounded. Swept on v5e (PERFORMANCE.md):
+    # large chunks force the compiler to spill the weight-grad scan carries
+    # (update 8.9 s at 512 vs 8.0 s at 128); 64-128 is the sweet spot and
+    # the matmuls are still MXU-saturated at 128x201 rows.
+    fusion_chunk: int = 128
 
     # number of stacked towers: 1 = shared actor/critic head,
     # 3 = separate actor / reward-critic / cost-critic full towers

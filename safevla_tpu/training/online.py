@@ -204,12 +204,18 @@ class OnlineTrainer:
                 box["result"] = stop.value
                 return True
 
+        B = self.pool.num_streams
+        # programs per env step so the whole update dispatches in-window
+        pump_k = max(1, -(-self.learner.chunked_program_count(B * T) // T))
+
         while int(ts.step) < total:
             stage = self.learner.stage_for_step(int(ts.step))
             done = {"v": prev is None}
 
             def interleave(t, done=done, prev=prev):
-                if not done["v"]:
+                for _ in range(pump_k):
+                    if done["v"]:
+                        break
                     done["v"] = pump(prev[0])
 
             batch, roll_stats = self.runner.collect(
