@@ -114,16 +114,27 @@ class FakeController(BaseController):
     def _refresh_object_metadata(self):
         apos = self.agent["position"]
         ayaw = math.radians(self.agent["rotation"]["y"])
-        fwd = (math.sin(ayaw), math.cos(ayaw))
-        for o in self._objects:
-            o["distance"] = position_dist(o["position"], apos)
-            dx = o["position"]["x"] - apos["x"]
-            dz = o["position"]["z"] - apos["z"]
-            # visible if within 4m and inside a ~90deg forward cone
-            dot = dx * fwd[0] + dz * fwd[1]
-            o["visible"] = bool(
-                o["distance"] < 4.0 and dot > 0.5 * max(o["distance"], 1e-6)
-            )
+        fx, fz = math.sin(ayaw), math.cos(ayaw)
+        # one vectorized pass (runs every sim step over all objects)
+        pos = np.array(
+            [
+                (o["position"]["x"], o["position"]["y"], o["position"]["z"])
+                for o in self._objects
+            ]
+        )
+        d = np.sqrt(
+            (pos[:, 0] - apos["x"]) ** 2
+            + (pos[:, 1] - apos["y"]) ** 2
+            + (pos[:, 2] - apos["z"]) ** 2
+        )
+        dx = pos[:, 0] - apos["x"]
+        dz = pos[:, 2] - apos["z"]
+        # visible if within 4m and inside a ~90deg forward cone
+        dot = dx * fx + dz * fz
+        vis = (d < 4.0) & (dot > 0.5 * np.maximum(d, 1e-6))
+        for o, di, vi in zip(self._objects, d, vis):
+            o["distance"] = float(di)
+            o["visible"] = bool(vi)
 
     def agent_step(self, action: str) -> Event:
         self._last_error = ""
@@ -190,6 +201,8 @@ class FakeController(BaseController):
         if self._rng.random() < 0.05:
             j = int(self._rng.integers(len(self._objects)))
             self._objects[j]["position"]["x"] += float(self._rng.normal(0, 0.03))
+            if self._objects[j]["objectType"] == "Chair":
+                self._collider_cache = None  # collider moved
         self._refresh_object_metadata()
         self._frame_cache.clear()
         return Event(
@@ -197,14 +210,28 @@ class FakeController(BaseController):
             {"errorMessage": self._last_error, "collided": self._last_collided},
         )
 
+    def _collider_arrays(self):
+        # chairs never move in this fake scene; cache their positions as
+        # arrays (collision checks run many times per step and for every
+        # reachable-positions grid point)
+        cache = getattr(self, "_collider_cache", None)
+        if cache is None:
+            chairs = [o for o in self._objects if o["objectType"] == "Chair"]
+            cache = (
+                np.array([o["position"]["x"] for o in chairs]),
+                np.array([o["position"]["z"] for o in chairs]),
+                [o["name"] for o in chairs],
+            )
+            self._collider_cache = cache
+        return cache
+
     def _object_collision(self, nx: float, nz: float) -> Optional[str]:
-        for o in self._objects:
-            if o["objectType"] != "Chair":
-                continue
-            d = (o["position"]["x"] - nx) ** 2 + (o["position"]["z"] - nz) ** 2
-            if d < 0.04:
-                return o["name"]
-        return None
+        cx, cz, names = self._collider_arrays()
+        if not len(names):
+            return None
+        d = (cx - nx) ** 2 + (cz - nz) ** 2
+        i = int(np.argmin(d))
+        return names[i] if d[i] < 0.04 else None
 
     def step(self, action: str, **kwargs) -> Event:
         if action == "GetReachablePositions":
@@ -323,11 +350,17 @@ class FakeController(BaseController):
     # ------------------------------------------------------------------
     def get_reachable_positions(self) -> List[Dict[str, float]]:
         grid = np.arange(0.25, self.size, 0.25)
+        xs, zs = np.meshgrid(grid, grid, indexing="ij")
+        xs, zs = xs.ravel(), zs.ravel()
+        cx, cz, names = self._collider_arrays()
+        if len(names):
+            d2 = (xs[:, None] - cx[None, :]) ** 2 + (zs[:, None] - cz[None, :]) ** 2
+            free = d2.min(axis=1) >= 0.04
+        else:
+            free = np.ones(xs.shape, bool)
         return [
             {"x": float(x), "y": 0.9, "z": float(z)}
-            for x in grid
-            for z in grid
-            if self._object_collision(float(x), float(z)) is None
+            for x, z in zip(xs[free], zs[free])
         ]
 
     def get_closest_object_from_ids(
