@@ -20,9 +20,15 @@ ordering).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+# parity runs use the exact-numerics attention path: XLA einsums with f32
+# logits (the bf16-logits and pallas defaults trade exactness for speed)
+os.environ.setdefault("SAFEVLA_PALLAS_ATTN", "0")
+os.environ.setdefault("SAFEVLA_ATTN_F32_LOGITS", "1")
 
 
 def check(name: str, ours: np.ndarray, theirs: np.ndarray, atol: float) -> bool:
