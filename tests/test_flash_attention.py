@@ -85,6 +85,34 @@ def test_key_lens_forward_matches_masked_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_vmapped_tower_path_matches_xla():
+    """The kernel under jax.vmap (the 3-tower fusion layout) == XLA, fwd and
+    grads — interpret mode stands in for the TPU compile."""
+    from safevla_tpu.ops.flash_attention import _attention_diff_qkv
+
+    towers, b, s, h, dh = 3, 4, 50, 4, 32
+    qkv = jax.random.normal(jax.random.PRNGKey(9), (towers, b, s, 3 * h * dh))
+    key_lens = jnp.asarray([50, 31, 7, 50], jnp.int32)
+    key_mask = jnp.arange(s)[None, :] < key_lens[:, None]
+
+    def pal_one(qkv_t):
+        return _attention_diff_qkv(qkv_t, key_lens, h, True)
+
+    def xla_one(qkv_t):
+        q, k, v = jnp.split(qkv_t, 3, axis=-1)
+        fold = lambda x: x.reshape(b, s, h, dh)
+        out = _xla_attention(fold(q), fold(k), fold(v), key_mask=key_mask)
+        return out.reshape(b, s, h * dh)
+
+    got = jax.vmap(pal_one)(qkv)
+    ref = jax.vmap(xla_one)(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+    g_pal = jax.grad(lambda x: jnp.sum(jax.vmap(pal_one)(x) ** 2))(qkv)
+    g_ref = jax.grad(lambda x: jnp.sum(jax.vmap(xla_one)(x) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-3)
+
+
 def test_key_lens_vjp_matches_masked_xla_grads():
     b, s = 3, 68
     q, k, v = _qkv((b, s, 4, 32), seed=4)
