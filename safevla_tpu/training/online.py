@@ -115,7 +115,17 @@ class OnlineTrainer:
         max_wall_seconds: Optional[float] = None,
     ) -> TrainState:
         if self.async_pipeline:
-            return self.train_async(total_steps, train_state, max_wall_seconds)
+            if self.learner.mesh is not None:
+                # the chunk programs slice the flat (B*T) axis, which would
+                # fight the dp-sharded batch layout; multi-chip training
+                # keeps the sharded monolithic update (the async win targets
+                # single-chip hosts where rollout and update share one chip)
+                print(
+                    "async_pipeline requested with a device mesh — using the "
+                    "sharded synchronous update instead"
+                )
+            else:
+                return self.train_async(total_steps, train_state, max_wall_seconds)
         cfg = self.cfg
         ts = train_state if train_state is not None else self.init_state()
         total = total_steps if total_steps is not None else cfg.train.total_steps
