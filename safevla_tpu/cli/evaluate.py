@@ -19,8 +19,19 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--benchmark", required=True,
-                        help="benchmark episodes .jsonl.gz (or .json list)")
+                        help="benchmark episodes .jsonl.gz (or .json list); "
+                        "with --tasks, a DIRECTORY holding "
+                        "<tasktype>_val.jsonl.gz files")
     parser.add_argument("--task-type", default="ObjectNavType")
+    parser.add_argument("--tasks", default=None,
+                        help="evaluate a task mixture: a named mixture "
+                        "(data/mixtures.py) or comma-separated task types "
+                        "(reference online_eval.py multi-task path)")
+    parser.add_argument("--eval-set-size", type=int, default=None,
+                        help="cap episodes per task type (reference "
+                        "online_eval.py --eval_set_size)")
+    parser.add_argument("--shuffle", action="store_true",
+                        help="shuffle episode order with eval.seed")
     parser.add_argument("--houses-dir", default=None)
     parser.add_argument("--fake-env", action="store_true")
     parser.add_argument("--mode", default="greedy", choices=["greedy", "sample"])
@@ -48,8 +59,39 @@ def main(argv=None):
     from safevla_tpu.tasks import MultiTaskSampler, TaskSpecQueue
 
     cfg = apply_overrides(Config(), args.overrides)
-    samples = load_benchmark_episodes(args.benchmark)
-    max_len = MAX_EPISODE_LEN_PER_TASK.get(args.task_type, 600)
+
+    # single task, or a mixture (reference online_eval.py's multi-task path:
+    # a named mixture or explicit list; --benchmark then points at the
+    # directory of per-task <tasktype>_val.jsonl.gz files)
+    import os
+    import random as _random
+
+    if args.tasks:
+        from safevla_tpu.data.mixtures import get_mixture_by_name
+
+        if "," in args.tasks:
+            task_types = [t.strip() for t in args.tasks.split(",") if t.strip()]
+        else:
+            task_types = list(get_mixture_by_name(args.tasks))
+        bench_paths = {
+            t: os.path.join(args.benchmark, f"{t.lower()}_val.jsonl.gz")
+            for t in task_types
+        }
+    else:
+        task_types = [args.task_type]
+        bench_paths = {args.task_type: args.benchmark}
+
+    samples_by_task = {t: load_benchmark_episodes(p) for t, p in bench_paths.items()}
+    if args.shuffle:
+        rng = _random.Random(cfg.eval.seed)
+        for v in samples_by_task.values():
+            rng.shuffle(v)
+    if args.eval_set_size:
+        samples_by_task = {
+            t: v[: args.eval_set_size] for t, v in samples_by_task.items()
+        }
+
+    max_len = max(MAX_EPISODE_LEN_PER_TASK.get(t, 600) for t in task_types)
     if not any(o.startswith("model.max_steps=") for o in args.overrides):
         # the KV cache must cover the eval episode cap (train default is 500)
         import dataclasses
@@ -58,6 +100,9 @@ def main(argv=None):
         cfg.train.max_steps = max_len
     h, w = cfg.model.image_size
 
+    all_needed = sorted(
+        {int(s["house_index"]) for v in samples_by_task.values() for s in v}
+    )
     if args.fake_env:
         from safevla_tpu.envs.fake_controller import FakeController
 
@@ -73,9 +118,8 @@ def main(argv=None):
         houses_store = LazyJsonHouses.from_dir(
             args.houses_dir or cfg.objaverse_houses_dir, subset="val"
         )
-        needed = sorted({int(s["house_index"]) for s in samples})
-        houses = [houses_store[i] for i in needed]
-        house_inds = needed
+        houses = [houses_store[i] for i in all_needed]
+        house_inds = all_needed
         controller_type, controller_args = StretchController, default_thor_env_args()
 
     def factory_builder(tasks_queue):
@@ -122,18 +166,34 @@ def main(argv=None):
         video_dir=args.video_dir,
         video_every=args.video_every if args.video_dir else 0,
     )
-    results = evaluator.evaluate(agent, samples, args.task_type)
-
-    import os
 
     from safevla_tpu.utils.wandb_logging import WandbLogger
 
     out_dir = os.path.join(cfg.train.output_dir, "eval")
     logger = WandbLogger(output_dir=out_dir)
-    BatchedEvaluator.log_results(logger, results)
+    import numpy as np
+
+    per_task = {}
+    for t in task_types:
+        # fresh episodes handle cache/position reset via the episode-window
+        # attention mask (as in training); only prev-action needs zeroing
+        agent.reset_streams(np.ones(cfg.eval.num_workers, bool))
+        per_task[t] = evaluator.evaluate(agent, samples_by_task[t], t)
+        BatchedEvaluator.log_results(logger, per_task[t])
     logger.finish()
 
-    print(json.dumps(results["aggregate"], indent=2, default=float))
+    if len(task_types) == 1:
+        results = per_task[task_types[0]]
+        print(json.dumps(results["aggregate"], indent=2, default=float))
+    else:
+        results = {"per_task": per_task}
+        print(
+            json.dumps(
+                {t: r["aggregate"] for t, r in per_task.items()},
+                indent=2,
+                default=float,
+            )
+        )
     if args.output:
         with open(args.output, "w") as f:
             json.dump(results, f, default=float)

@@ -219,6 +219,28 @@ def _parse_value(raw: str, current: Any) -> Any:
 
         val = json.loads(raw)
         return type(current)(val) if isinstance(current, tuple) else val
+    if current is None:
+        # Optional fields carry no type witness — infer from the literal
+        # (previously the raw string leaked through, so e.g.
+        # eval.max_eval_tasks=2 produced a str that broke slicing)
+        low = raw.lower()
+        if low in ("none", "null"):
+            return None
+        if low in ("true", "false"):
+            return low == "true"
+        for cast in (int, float):
+            try:
+                return cast(raw)
+            except ValueError:
+                pass
+        import json
+
+        try:
+            return json.loads(raw)
+        except Exception:
+            return raw
+    if raw.lower() in ("none", "null"):
+        return None
     return raw
 
 

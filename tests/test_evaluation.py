@@ -193,3 +193,67 @@ def test_evaluator_records_videos_and_top_down(tiny_model_cfg, tmp_path):
     assert any("topdown" not in f for f in files), files  # episode videos
     # top-down paths surfaced in the per-episode table rows come from stream 0
     assert all("top_down_frame" not in r for r in results["safety_table"])
+
+
+def test_evaluate_cli_multi_task(tiny_model_cfg, tmp_path, monkeypatch):
+    """The CLI's mixture path: per-task benchmark files in a directory ->
+    one agent evaluated over each task type, per-task aggregates merged
+    (reference online_eval.py multi-task protocol)."""
+    import gzip
+    import json
+    import os
+
+    import safevla_tpu.models.vit as vitmod
+    from safevla_tpu.cli import evaluate as eval_cli
+
+    bench_dir = tmp_path / "benchmark"
+    bench_dir.mkdir()
+    samples = _eval_samples(4)
+    for task in ("ObjectNavType", "RoomVisit"):
+        rows = []
+        for s in samples[:2]:
+            row = dict(s)
+            row["task_type"] = task
+            if task == "RoomVisit":
+                row["natural_language_spec"] = "visit 2 rooms"
+                row["rooms_visit_count"] = 2
+                row["num_rooms_in_house"] = 2
+            rows.append(row)
+        with gzip.open(bench_dir / f"{task.lower()}_val.jsonl.gz", "wt") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    h, w = tiny_model_cfg.image_size
+    overrides = [
+        "eval.num_workers=2",
+        "eval.max_eval_tasks=2",
+        f"model.max_steps={tiny_model_cfg.max_steps}",
+    ]
+    # shrink the model via the registered tiny vit (conftest pattern)
+    monkeypatch.setattr(eval_cli, "__doc__", eval_cli.__doc__)
+    import safevla_tpu.config as cfgmod
+
+    orig_config = cfgmod.Config
+
+    def tiny_config():
+        c = orig_config()
+        c.model = tiny_model_cfg
+        return c
+
+    monkeypatch.setattr(cfgmod, "Config", tiny_config)
+    out = tmp_path / "results.json"
+    results = eval_cli.main(
+        [
+            "--benchmark", str(bench_dir),
+            "--tasks", "ObjectNavType,RoomVisit",
+            "--fake-env",
+            "--eval-set-size", "2",
+            "--shuffle",
+            "--output", str(out),
+        ]
+        + overrides
+    )
+    assert set(results["per_task"]) == {"ObjectNavType", "RoomVisit"}
+    for t, r in results["per_task"].items():
+        assert r["num_episodes"] == 2
+    assert out.exists()
