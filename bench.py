@@ -102,12 +102,25 @@ def main():
             if it is not None:
                 while not done["v"]:
                     done["v"] = pump(it)
-                state["ts"], metrics = state["result"]
-                float(metrics["total"])  # force materialization
+                # do NOT materialize metrics here: blocking at the window
+                # boundary idles the host behind the update's device tail.
+                # The next window's act dispatches depend on the new params
+                # and queue behind that tail automatically (async dispatch);
+                # drain_async() syncs once at the very end.
+                state["ts"], state["metrics"] = state["result"]
             state["it"] = learner.iter_chunked_update(
                 state["ts"], batch, stats["mean_episode_cost"], 1
             )
             return state["ts"], stats
+
+        def settle_async():
+            # steady-state accounting: one window's update stays in flight
+            # across the timed-region edges (the warmup window's update runs
+            # inside the region, the last window's escapes it — work in ==
+            # work out). Block only until the last COUNTED window's metrics
+            # materialize, i.e. all timed device work has retired.
+            if state.get("metrics") is not None:
+                float(state["metrics"]["total"])
     else:
         update_seconds = []
 
@@ -126,6 +139,8 @@ def main():
     t0 = time.time()
     ts, _ = iteration(ts)
     ts, _ = iteration(ts)
+    if use_async:
+        settle_async()  # warmup compiles settled; one update stays in flight
     warmup = time.time() - t0
     print(f"# warmup (compile) {warmup:.1f}s async={use_async}", file=sys.stderr)
     runner.timer.reset()  # drop compile-polluted timings
@@ -133,6 +148,8 @@ def main():
     t0 = time.time()
     for _ in range(ITERS):
         ts, stats = iteration(ts)
+    if use_async:
+        settle_async()
     wall = time.time() - t0
     frames = ITERS * B * T
     fps = frames / wall

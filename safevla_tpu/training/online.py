@@ -217,9 +217,33 @@ class OnlineTrainer:
         B = self.pool.num_streams
         # programs per env step so the whole update dispatches in-window
         pump_k = max(1, -(-self.learner.chunked_program_count(B * T) // T))
+        # steps tracked host-side: reading the device step scalar (or the
+        # metrics) at the window boundary would block the host behind the
+        # update's device tail — everything here floats one window late
+        step_now = int(ts.step)
+        pending_log = None  # (metrics_dev, roll_stats, stage_id, step) to flush
 
-        while int(ts.step) < total:
-            stage = self.learner.stage_for_step(int(ts.step))
+        def flush_log(final: bool = False):
+            nonlocal last_save, pending_log
+            if pending_log is None:
+                return
+            metrics_dev, stats, stage_id, step = pending_log
+            pending_log = None
+            metrics = {k: float(v) for k, v in metrics_dev.items()}
+            log = {"stage": stage_id, "async": True, **metrics, **stats}
+            for m in self.runner.pop_metrics():
+                self.episode_accum.add(m)
+            ep_means = self.episode_accum.means()
+            log.update({f"ep/{k}": v for k, v in ep_means.items()})
+            log["total_fps"] = step / max(time.time() - t_start, 1e-9)
+            self.log_fn(log, step)
+            if final or step - last_save >= cfg.train.save_interval:
+                path = save_checkpoint(self.output_dir, ts, step)
+                last_save = step
+                print(f"saved checkpoint {path}")
+
+        while step_now < total:
+            stage = self.learner.stage_for_step(step_now)
             done = {"v": prev is None}
 
             def interleave(t, done=done, prev=prev):
@@ -235,21 +259,13 @@ class OnlineTrainer:
             if prev is not None:
                 while not done["v"]:  # finish any undispatched programs
                     done["v"] = pump(prev[0])
+                # the previous window's log is surely materialized by now
+                # (its programs precede this window's in the device FIFO)
+                flush_log()
                 ts, metrics_dev = box["result"]
                 act_params = {"towers": ts.tower_params, **ts.frozen_params}
-                metrics = {k: float(v) for k, v in metrics_dev.items()}
-                step_now = int(ts.step)
-                log = {"stage": prev[1], "async": True, **metrics, **roll_stats}
-                for m in self.runner.pop_metrics():
-                    self.episode_accum.add(m)
-                ep_means = self.episode_accum.means()
-                log.update({f"ep/{k}": v for k, v in ep_means.items()})
-                log["total_fps"] = step_now / max(time.time() - t_start, 1e-9)
-                self.log_fn(log, step_now)
-                if step_now - last_save >= cfg.train.save_interval:
-                    path = save_checkpoint(self.output_dir, ts, step_now)
-                    last_save = step_now
-                    print(f"saved checkpoint {path}")
+                step_now += B * T
+                pending_log = (metrics_dev, roll_stats, prev[1], step_now)
 
             # window just collected: its update (captured with ITS stage)
             # runs while the next window is collected
@@ -268,7 +284,11 @@ class OnlineTrainer:
             done_v = False
             while not done_v:
                 done_v = pump(prev[0])
-            ts, _ = box["result"]
+            flush_log()
+            ts, metrics_dev = box["result"]
+            step_now += B * T
+            pending_log = (metrics_dev, roll_stats, prev[1], step_now)
+            flush_log(final=False)
         return ts
 
     def close(self):
