@@ -191,23 +191,43 @@ def test_imitation_requires_signal(tiny_model_cfg, tiny_policy):
         learner.update(ts, _batch(tiny_model_cfg), 0.0, 0)
 
 
-def test_chunked_update_matches_monolithic(tiny_model_cfg, tiny_policy):
+@pytest.mark.parametrize("stage_kind", ["warmup", "lagrangian", "imitation"])
+def test_chunked_update_matches_monolithic(tiny_model_cfg, tiny_policy, stage_kind):
     """The chunk-decomposed update (async pipeline's program sequence) must
-    produce the same params/metrics as the single jitted update."""
+    produce the same params/metrics as the single jitted update — for every
+    stage composition (critic warmup, PPO-Lagrangian, aux imitation)."""
     import dataclasses
 
     from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.config import TrainingStageConfig
 
     cfg = Config()
     # 4 fusion chunks over the (B=4, T=8) window
     cfg.model = dataclasses.replace(tiny_model_cfg, fusion_chunk=8)
     cfg.ppo.update_repeats = 2
+    stage_id = 1
+    if stage_kind == "warmup":
+        stage_id = 0
+    elif stage_kind == "imitation":
+        cfg.train.stages = [
+            TrainingStageConfig(
+                loss_names=["ppo_log_loss", "imitation_bce_loss"],
+                loss_weights=[1.0, 0.5],
+                max_stage_steps=1_000_000,
+            )
+        ]
+        stage_id = 0
     learner = Learner(tiny_policy, cfg)
     ts = learner.init(jax.random.PRNGKey(0))
     batch = _batch(tiny_model_cfg)
+    if stage_kind == "imitation":
+        rng = np.random.default_rng(3)
+        batch["expert_pickupable"] = jnp.asarray(
+            rng.integers(0, 2, batch["actions"].shape), jnp.int32
+        )
 
-    ts_mono, m_mono = learner.update(ts, batch, 1.5, 1)
-    ts_chunk, m_chunk = learner.chunked_update(ts, batch, 1.5, 1)
+    ts_mono, m_mono = learner.update(ts, batch, 1.5, stage_id)
+    ts_chunk, m_chunk = learner.chunked_update(ts, batch, 1.5, stage_id)
 
     leaves_a = jax.tree.leaves(ts_mono.tower_params)
     leaves_b = jax.tree.leaves(ts_chunk.tower_params)
