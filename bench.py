@@ -66,7 +66,8 @@ def main():
     learner = Learner(policy, cfg)
     ts = learner.init(jax.random.PRNGKey(0))
 
-    overlap = int(os.environ.get("BENCH_OVERLAP_GROUPS", "4"))
+    # og=8 fully hides the tunnel action-fetch RTT (PERFORMANCE.md sweep)
+    overlap = int(os.environ.get("BENCH_OVERLAP_GROUPS", "8"))
     pool = EnvPool(factory, num_streams=B, num_workers=num_workers)
     runner = RolloutRunner(policy, cfg, pool, seed=0, overlap_groups=overlap)
 
