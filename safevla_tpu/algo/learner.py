@@ -82,10 +82,13 @@ def stage_spec_from_config(stage_cfg, ppo) -> StageSpec:
             value += w * ppo.value_loss_coef
             c_value += w * ppo.value_loss_coef
             use_lagrange = True
-        elif name == "ppo_loss":  # unconstrained PPO (lambda == 0 path)
+        elif name == "ppo_loss":
+            # unconstrained PPO baseline: NO cost-value term. The reference's
+            # plain-PPO configs pair PPOLogGrad with PPOValue only (no
+            # SafePPOValue), so the cost critic stays untouched — add
+            # safe_ppo_value_loss explicitly if a run wants it trained.
             action += w
             value += w * ppo.value_loss_coef
-            c_value += w * ppo.value_loss_coef
         elif name == "ppo_value_loss":
             value += w
         elif name == "safe_ppo_value_loss":

