@@ -71,8 +71,8 @@ def test_stretch_state_difference_and_tolerance():
     b._base_position = {**a._base_position, "x": 0.5, "theta": 350.0}
     diff = StretchState.difference(b, a)
     assert diff.base_position["x"] == pytest.approx(0.5)
-    # angle wraps: |350 - 0| -> 10 degrees
-    assert diff.base_position["theta"] == pytest.approx(10.0)
+    # SIGNED wrap (reference semantics): 350 - 0 -> -10 degrees
+    assert diff.base_position["theta"] == pytest.approx(-10.0)
 
     tol = StretchState._create_difference_state(
         diff_base={"x": 0.01, "z": 0.01, "theta": 1.5},
