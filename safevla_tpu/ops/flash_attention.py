@@ -130,13 +130,16 @@ def _bwd_kernel(
 _VMEM_BUDGET = 14 * 1024 * 1024  # stay under the 16 MB scoped-vmem limit
 
 
-def _pick_group(s_pad: int, lanes: int, n_blocks: int, n_transients: int) -> int:
+def _pick_group(
+    s_pad: int, lanes: int, n_blocks: int, n_transients: int, itemsize: int = 2
+) -> int:
     """Largest rows-per-grid-step whose VMEM high-water fits the budget:
-    double-buffered (G, S, lanes) blocks + f32 (G, S, S) softmax transients."""
+    double-buffered (G, S, lanes) blocks + f32 (G, S, S) softmax transients.
+    `itemsize` is the block dtype's bytes (f32 inputs double the block cost)."""
     group = 8
     while group > 1:
         est = (
-            n_blocks * group * s_pad * lanes * 2 * 2
+            n_blocks * group * s_pad * lanes * itemsize * 2
             + n_transients * group * s_pad * s_pad * 4
         )
         if est <= _VMEM_BUDGET:
@@ -154,7 +157,9 @@ def _prep_qkv(qkv, heads, key_lens, lane_widths, n_transients):
     # sublane (second-minor) alignment is 16 for bf16 — padding to 16 instead
     # of 128 keeps the (S, S) logits work ~35% smaller at S=201
     s_pad = max(128, _cdiv(s, 16) * 16)
-    group = min(_pick_group(s_pad, lanes, lane_widths, n_transients), b)
+    group = min(
+        _pick_group(s_pad, lanes, lane_widths, n_transients, qkv.dtype.itemsize), b
+    )
     b_pad = _cdiv(b, group) * group
     qkv_f = jnp.pad(qkv, ((0, b_pad - b), (0, s_pad - s), (0, 0)))
     if key_lens is None:
