@@ -60,9 +60,13 @@ _N_META = 3  # (t, global_step, row_offset)
 
 
 class DeviceFrameBank:
-    """Content-addressed uint8 frame store on device."""
+    """Content-addressed uint8 frame store on device.
 
-    def __init__(self, slots: int, frame_shape, dtype=jnp.uint8):
+    With a mesh the bank lives REPLICATED on every chip (96 uint8 slots
+    ~= 24 MB — cheap), so every device's act-path shard gathers its group's
+    frames locally with no cross-chip traffic."""
+
+    def __init__(self, slots: int, frame_shape, dtype=jnp.uint8, mesh=None):
         self.slots = slots
         self.bank = jnp.zeros((slots,) + tuple(frame_shape), dtype)
         self._key_to_slot: Dict[int, int] = {}
@@ -70,9 +74,21 @@ class DeviceFrameBank:
         self._clock = 0
         self.hits = 0
         self.misses = 0
-        self._upload = jax.jit(
-            lambda bank, slot, frame: bank.at[slot].set(frame), donate_argnums=0
-        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            self.bank = jax.device_put(self.bank, repl)
+            self._upload = jax.jit(
+                lambda bank, slot, frame: bank.at[slot].set(frame),
+                donate_argnums=0,
+                in_shardings=(repl, repl, repl),
+                out_shardings=repl,
+            )
+        else:
+            self._upload = jax.jit(
+                lambda bank, slot, frame: bank.at[slot].set(frame), donate_argnums=0
+            )
 
     _hash_coeffs: Optional[np.ndarray] = None
 
@@ -130,6 +146,7 @@ class RolloutRunner:
         frame_bank_slots: int = 96,
         overlap_groups: int = 2,
         use_frame_bank: Optional[bool] = None,
+        mesh=None,
     ):
         self.policy = policy
         self.cfg = cfg
@@ -143,6 +160,21 @@ class RolloutRunner:
             overlap_groups = 1
         self.n_groups = max(1, overlap_groups)
         self.G = self.B // self.n_groups
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip rollout (reference scales rollout one worker per GPU,
+            # base.py:236-282): each group's act program shards its stream
+            # axis over dp, so a v5e-8 computes 8x streams per dispatch. The
+            # group width must tile the dp axis; shrink the group count (wider
+            # groups) until it does.
+            dp = mesh.shape["dp"]
+            while self.n_groups > 1 and (self.B // self.n_groups) % dp != 0:
+                self.n_groups //= 2
+            self.G = self.B // self.n_groups
+            if self.G % dp != 0:
+                raise ValueError(
+                    f"num_streams={self.B} must be divisible by dp={dp}"
+                )
 
         self.base_rng = jax.random.PRNGKey(seed)
         self._aug_key = jax.random.PRNGKey(seed + 1)
@@ -183,8 +215,6 @@ class RolloutRunner:
 
         self._pending: List[Optional[tuple]] = [None] * self.n_groups
         self.timer = StageTimer()
-        self._jit_rollout_step = jax.jit(self._rollout_step, donate_argnums=(1, 2))
-        self._jit_encode_text = jax.jit(self._encode_text)
 
         def _splice(storage, scratch, offset):
             for k in storage:
@@ -195,7 +225,39 @@ class RolloutRunner:
                 )
             return storage
 
-        self._jit_splice = jax.jit(_splice, donate_argnums=0)
+        if mesh is None:
+            self._jit_rollout_step = jax.jit(self._rollout_step, donate_argnums=(1, 2))
+            self._jit_encode_text = jax.jit(self._encode_text)
+            self._jit_splice = jax.jit(_splice, donate_argnums=0)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            row = NamedSharding(mesh, P("dp"))  # (G, ...) leaves
+            col = NamedSharding(mesh, P(None, "dp"))  # (T, B, ...) storage
+            # KV-cache leaves are (towers, layers, B, S, H, Dh) — stream axis 2
+            state_shard = PolicyState(
+                cache=NamedSharding(mesh, P(None, None, "dp")),
+                pos=repl,
+                time_step=row,
+                text_hidden=row,
+                text_mask=row,
+            )
+            self._jit_rollout_step = jax.jit(
+                self._rollout_step,
+                donate_argnums=(1, 2),
+                in_shardings=(repl, state_shard, col, repl, repl, repl),
+                out_shardings=(row, row, row, state_shard, col),
+            )
+            self._jit_encode_text = jax.jit(
+                self._encode_text, in_shardings=(repl, row, row), out_shardings=row
+            )
+            self._jit_splice = jax.jit(
+                _splice,
+                donate_argnums=0,
+                in_shardings=(col, col, repl),
+                out_shardings=col,
+            )
 
         self._cur: List[Dict[str, Any]] = [None] * self.n_groups
         first_steps = self.pool.initial_steps()
@@ -300,7 +362,9 @@ class RolloutRunner:
         if self.use_frame_bank:
             if self.frame_bank is None:
                 shape = obs[0]["rgb_raw"].shape
-                self.frame_bank = DeviceFrameBank(self.frame_bank_slots, shape)
+                self.frame_bank = DeviceFrameBank(
+                    self.frame_bank_slots, shape, mesh=self.mesh
+                )
             nav_ids = np.array(
                 [self.frame_bank.get_slot(o["rgb_raw"]) for o in obs], np.int32
             )
@@ -416,7 +480,7 @@ class RolloutRunner:
             self._aug_steps += 1
         with self.timer.section("dispatch"):
             action, v, cv, self.states[g], storage = self._jit_rollout_step(
-                self._params_cache,
+                self._act_params,
                 self.states[g],
                 storage,
                 self._bank_for(g),
@@ -482,6 +546,13 @@ class RolloutRunner:
         T = num_steps
         cfg = self.cfg
         self._params_cache = params
+        # the act program touches only the ViT + towers; dropping the unused
+        # T5 subtree cuts ~70 leaves from the per-dispatch pytree flatten
+        # (~1.2 ms/call at 300 leaves x 1024 dispatches/window — real seconds
+        # on this one-core host). encode_text keeps the full params.
+        self._act_params = {
+            k: params[k] for k in ("vit", "towers") if k in params
+        }
         if not getattr(self, "_text_initialized", False):
             for g in range(self.n_groups):
                 self._refresh_text(g)
@@ -535,7 +606,7 @@ class RolloutRunner:
             pk[self.G * _N_COLS + 2] = 0  # scratch row offset
             with self.timer.section("dispatch"):
                 action, v, cv, self.states[g], scratch = self._jit_rollout_step(
-                    self._params_cache,
+                    self._act_params,
                     self.states[g],
                     scratch,
                     self._bank_for(g),

@@ -69,7 +69,9 @@ class OnlineTrainer:
             num_streams=cfg.train.num_train_processes,
             num_workers=num_workers,
         )
-        self.runner = RolloutRunner(self.policy, cfg, self.pool, seed=cfg.train.seed)
+        self.runner = RolloutRunner(
+            self.policy, cfg, self.pool, seed=cfg.train.seed, mesh=mesh
+        )
         self.log_fn = log_fn or self._default_log
         self.episode_accum = MetricAccumulator()
         self.output_dir = os.path.join(cfg.train.output_dir, cfg.train.tag)
@@ -138,6 +140,12 @@ class OnlineTrainer:
             params = {"towers": ts.tower_params, **ts.frozen_params}
 
             batch, roll_stats = self.runner.collect(params, cfg.ppo.num_steps)
+            if self.learner.mesh is not None:
+                # act-path leaves come out sharded (T, B@dp) / replicated;
+                # normalize every leaf to the update's (B@dp, ...) layout
+                from safevla_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(self.learner.mesh, batch)
             ts, metrics = self.learner.update(
                 ts, batch, roll_stats["mean_episode_cost"], stage
             )
