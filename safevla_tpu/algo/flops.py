@@ -20,10 +20,20 @@ def _fusion_fwd_flops(cfg, n_samples: int) -> float:
     n_tok = 1 + cams * gh * gw + L
 
     per_layer = n_tok * (8 * d * d + 4 * d * ffn) + 4 * n_tok * n_tok * d
+    # last layer computes q/out-proj/MLP only for the consumed CLS row
+    # (fusion.py out_rows=1): keeps the k/v projection (2/8 of the qkv+out
+    # matmuls) over all tokens plus one row's worth of everything else
+    last_layer = (
+        n_tok * 2 * d * d  # k/v projection
+        + 1 * (6 * d * d + 4 * d * ffn)  # q, out-proj, MLP for the CLS row
+        + 4 * n_tok * d  # single-query attention
+    )
     h0, h1 = m.dino_compressor_hidden_out_dims
     compressor = cams * gh * gw * 2 * (m.vision_feature_dim * h0 + h0 * h1)
     adapters = cams * gh * gw * 2 * h1 * h1 + L * 2 * m.text_embed_size * m.goal_dims
-    return n_samples * (m.combiner_layers * per_layer + compressor + adapters)
+    return n_samples * (
+        (m.combiner_layers - 1) * per_layer + last_layer + compressor + adapters
+    )
 
 
 def _decoder_fwd_flops(cfg, batch: int, seq: int) -> float:

@@ -23,7 +23,7 @@ class TorchMultiheadAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, key_mask=None, key_lens=None):
+    def __call__(self, x, key_mask=None, key_lens=None, q_rows=None):
         b, t, d = x.shape
         h = self.num_heads
         dh = d // h
@@ -33,17 +33,42 @@ class TorchMultiheadAttention(nn.Module):
             "in_proj_weight", nn.initializers.xavier_uniform(), (3 * d, d)
         )
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
-        qkv = (
-            jnp.einsum("btd,ed->bte", x, in_proj_w.astype(self.dtype))
-            + in_proj_b.astype(self.dtype)
-        )
-        # the [q|k|v] lane layout of torch's in_proj feeds the packed
-        # attention entry directly — no split copies around the kernel
-        from safevla_tpu.ops.flash_attention import attention_qkv
+        if q_rows is not None:
+            # restricted-query attention: only the first q_rows tokens'
+            # outputs are needed (the caller discards the rest — see
+            # FusionTransformer.cls_rows). Same weights, same math for those
+            # rows; skips the q projection for the other tokens, and the
+            # (b, q_rows, t) logits are small enough that the XLA path wins.
+            from safevla_tpu.ops.flash_attention import attention
 
-        out = attention_qkv(
-            qkv, h, key_mask=key_mask, key_lens=key_lens
-        ).astype(self.dtype)
+            wq = in_proj_w[:d].astype(self.dtype)
+            wkv = in_proj_w[d:].astype(self.dtype)
+            q = (
+                jnp.einsum("btd,ed->bte", x[:, :q_rows], wq)
+                + in_proj_b[:d].astype(self.dtype)
+            )
+            kv = (
+                jnp.einsum("btd,ed->bte", x, wkv)
+                + in_proj_b[d:].astype(self.dtype)
+            )
+            k, v = kv[..., :d], kv[..., d:]
+            fold = lambda z, n: z.reshape(b, n, h, dh)
+            out = attention(
+                fold(q, q_rows), fold(k, t), fold(v, t),
+                use_pallas=False, key_mask=key_mask, key_lens=key_lens,
+            ).reshape(b, q_rows, d).astype(self.dtype)
+        else:
+            qkv = (
+                jnp.einsum("btd,ed->bte", x, in_proj_w.astype(self.dtype))
+                + in_proj_b.astype(self.dtype)
+            )
+            # the [q|k|v] lane layout of torch's in_proj feeds the packed
+            # attention entry directly — no split copies around the kernel
+            from safevla_tpu.ops.flash_attention import attention_qkv
+
+            out = attention_qkv(
+                qkv, h, key_mask=key_mask, key_lens=key_lens
+            ).astype(self.dtype)
         out = nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
         return out
 
@@ -55,11 +80,14 @@ class FusionLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, key_mask=None, key_lens=None):
+    def __call__(self, x, key_mask=None, key_lens=None, q_rows=None):
         # post-LN (torch default norm_first=False)
         attn = TorchMultiheadAttention(self.dim, self.num_heads, self.dtype, name="self_attn")(
-            x, key_mask, key_lens
+            x, key_mask, key_lens, q_rows=q_rows
         )
+        if q_rows is not None:
+            # residual + LN + MLP only for the rows whose outputs are consumed
+            x = x[:, :q_rows]
         x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
         x = x.astype(self.dtype)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
@@ -77,8 +105,8 @@ class FusionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, tokens, key_mask=None, key_lens=None):
-        """tokens (B, N, D) -> (B, N, D).
+    def __call__(self, tokens, key_mask=None, key_lens=None, out_rows=None):
+        """tokens (B, N, D) -> (B, N, D), or (B, out_rows, D) when set.
 
         Padded text tokens are excluded from every layer's attention softmax.
         The reference pads text dynamically to the longest instruction in the
@@ -86,10 +114,19 @@ class FusionTransformer(nn.Module):
         pads — masking reproduces that with static shapes. Two forms:
           * key_mask (B, N) bool: arbitrary mask (XLA attention path)
           * key_lens (B,) int32: valid-prefix count — equivalent for
-            right-padded text, and keeps the pallas kernel eligible."""
+            right-padded text, and keeps the pallas kernel eligible.
+
+        out_rows (static int): when only the first out_rows tokens' outputs
+        are consumed (the policy reads just the fused CLS, reference
+        allenact_dino_transformer.py:710-717), the LAST layer computes q /
+        out-proj / MLP for those rows alone — identical numerics for the
+        consumed rows, ~10/12 of the final layer's per-token work skipped for
+        the rest (~25% of the encoder's FLOPs at 201 tokens, 3 layers)."""
         x = tokens.astype(self.dtype)
         for i in range(self.num_layers):
+            last = i == self.num_layers - 1
             x = FusionLayer(self.dim, self.num_heads, self.ffn_dim, self.dtype, name=f"layer_{i}")(
-                x, key_mask, key_lens
+                x, key_mask, key_lens,
+                q_rows=out_rows if (last and out_rows is not None) else None,
             )
         return x

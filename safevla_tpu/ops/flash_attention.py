@@ -92,15 +92,19 @@ def _bwd_kernel(
         qh = qkv_ref[:, :, h * dh : (h + 1) * dh]
         kh = qkv_ref[:, :, lanes + h * dh : lanes + (h + 1) * dh]
         vh = qkv_ref[:, :, 2 * lanes + h * dh : 2 * lanes + (h + 1) * dh]
-        gh = g_ref[:, :, h * dh : (h + 1) * dh].astype(jnp.float32)
+        gh = g_ref[:, :, h * dh : (h + 1) * dh]
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         s = s * scale + bias
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, Sq, Sk) f32
-        pb = p.astype(qkv_ref.dtype)
+        # probabilities in the tile dtype (bf16): matches the FORWARD kernel,
+        # whose PV matmul consumes p.astype(dtype) — and cuts the kernel from
+        # 5.4 to 3.4 ms at the fusion update shape (G=4, B=384, S=208; the
+        # matmul-only floor is 2.6 ms). f32 is kept where it matters: logits,
+        # softmax normalization, and the ds row-sum correction.
+        pb = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
         gb = gh.astype(qkv_ref.dtype)
         # dv = p^T g : contract over q rows
         dv = jax.lax.dot_general(
@@ -110,7 +114,8 @@ def _bwd_kernel(
         dp = jax.lax.dot_general(
             gb, vh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (G, Sq, Sk)
+        pf = pb.astype(jnp.float32)
+        ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))  # (G, Sq, Sk)
         dsb = ds.astype(qkv_ref.dtype)
         dq = jax.lax.dot_general(
             dsb, kh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -128,6 +133,15 @@ def _bwd_kernel(
 
 
 _VMEM_BUDGET = 14 * 1024 * 1024  # stay under the 16 MB scoped-vmem limit
+
+
+def _group_override(kind: str) -> int | None:
+    """SAFEVLA_ATTN_GROUP_FWD / _BWD: explicit rows-per-grid-step override
+    (experiments / per-topology tuning); unset -> VMEM budget model."""
+    import os
+
+    v = os.environ.get(f"SAFEVLA_ATTN_GROUP_{kind}")
+    return int(v) if v else None
 
 
 def _pick_group(
@@ -148,7 +162,7 @@ def _pick_group(
     return group
 
 
-def _prep_qkv(qkv, heads, key_lens, lane_widths, n_transients):
+def _prep_qkv(qkv, heads, key_lens, lane_widths, n_transients, kind="FWD"):
     """qkv (B, S, 3*H*Dh) -> padded + SMEM key-count vector + tile geometry."""
     b, s, three_lanes = qkv.shape
     lanes = three_lanes // 3
@@ -157,9 +171,10 @@ def _prep_qkv(qkv, heads, key_lens, lane_widths, n_transients):
     # sublane (second-minor) alignment is 16 for bf16 — padding to 16 instead
     # of 128 keeps the (S, S) logits work ~35% smaller at S=201
     s_pad = max(128, _cdiv(s, 16) * 16)
-    group = min(
-        _pick_group(s_pad, lanes, lane_widths, n_transients, qkv.dtype.itemsize), b
+    group = _group_override(kind) or _pick_group(
+        s_pad, lanes, lane_widths, n_transients, qkv.dtype.itemsize
     )
+    group = min(group, b)
     b_pad = _cdiv(b, group) * group
     qkv_f = jnp.pad(qkv, ((0, b_pad - b), (0, s_pad - s), (0, 0)))
     if key_lens is None:
@@ -202,7 +217,14 @@ def flash_attention_qkv(
 def _flash_attention_qkv_bwd(qkv, heads, key_lens, g, interpret=False):
     """g (B, S, H*Dh) cotangent -> dqkv (B, S, 3*H*Dh)."""
     b, s, _ = qkv.shape
-    qkv_f, kl, lanes, s_pad, b_pad, group = _prep_qkv(qkv, heads, key_lens, 7, 5)
+    # 7 double-buffered lane blocks (qkv in, g in, dqkv out); peak f32
+    # transient liveness is ~3 (G,S,S) buffers (pf/dp/ds at the ds row-sum —
+    # s and e die earlier, pb/dsb are half-width): measured on v5e, the
+    # resulting G=4 compiles and runs 6% faster than G=2, while G=8 exceeds
+    # scoped VMEM (tools/exp_attn_bwd.py).
+    qkv_f, kl, lanes, s_pad, b_pad, group = _prep_qkv(
+        qkv, heads, key_lens, 7, 3, kind="BWD"
+    )
     dh = lanes // heads
     scale = 1.0 / math.sqrt(dh)
     gf = jnp.pad(g, ((0, b_pad - b), (0, s_pad - s), (0, 0)))
