@@ -122,7 +122,21 @@ class Learner:
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array) -> TrainState:
-        params = self.policy.init_params(rng)
+        # Uncompiled flax init runs EAGERLY: over the axon tunnel every
+        # distinct init op compiles server-side (~1 s each — 220 s of the
+        # cold start, measured by tools/prof_cold_compile.py). One jitted
+        # program compiles in ~35 s cold and hits the persistent compile
+        # cache afterwards.
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            init_fn = jax.jit(
+                self.policy.init_params,
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        else:
+            init_fn = jax.jit(self.policy.init_params)
+        params = init_fn(rng)
         tower_params = params["towers"]
         frozen = {"vit": params["vit"], "t5": params["t5"]}
         opt_state = self.tx.init(tower_params)

@@ -375,6 +375,16 @@ def _pallas_default() -> bool:
     return os.environ.get("SAFEVLA_PALLAS_ATTN", "1") == "1"
 
 
+def _on_tpu() -> bool:
+    """True when ops dispatch to a TPU-like backend. Honors an enclosing
+    `jax.default_device(...)` scope (e.g. host-side param init runs on the
+    CPU backend even though the process default is the tpu plugin — pallas
+    kernels cannot lower there)."""
+    dd = jax.config.jax_default_device
+    platform = dd.platform if dd is not None else jax.default_backend()
+    return platform not in ("cpu", "gpu")
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -405,7 +415,7 @@ def attention(
         raise ValueError("pass key_mask or key_lens, not both")
     if use_pallas is None:
         use_pallas = _pallas_default()
-    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    on_tpu = _on_tpu()
     lanes_ok = (q.shape[2] * q.shape[3]) % 128 == 0
     if use_pallas and (on_tpu or interpret) and key_mask is None and lanes_ok:
         return _attention_diff(q, k, v, key_lens, interpret)
@@ -435,7 +445,7 @@ def attention_qkv(
     lanes = three_lanes // 3
     if use_pallas is None:
         use_pallas = _pallas_default()
-    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    on_tpu = _on_tpu()
     lanes_ok = lanes % 128 == 0 and lanes % heads == 0
     if use_pallas and (on_tpu or interpret) and key_mask is None and lanes_ok:
         return _attention_diff_qkv(qkv, key_lens, heads, interpret)

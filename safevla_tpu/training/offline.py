@@ -86,7 +86,19 @@ class OfflineTrainer:
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None) -> BCTrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.train.seed)
-        params = self.policy.init_params(rng)
+        # one jitted program instead of eager op-by-op init: over the axon
+        # tunnel each eager op costs a server-side compile (~minutes total);
+        # the single program compiles once and persists in the compile cache
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            init_fn = jax.jit(
+                self.policy.init_params,
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        else:
+            init_fn = jax.jit(self.policy.init_params)
+        params = init_fn(rng)
         return BCTrainState(
             tower_params=params["towers"],
             frozen_params={"vit": params["vit"], "t5": params["t5"]},
