@@ -148,14 +148,34 @@ def main():
     print(f"# warmup (compile) {warmup:.1f}s async={use_async}", file=sys.stderr)
     runner.timer.reset()  # drop compile-polluted timings
 
+    # per-window timing + median: tunnel/host contention on this box can
+    # double a single window's wall (readings of 151-309 fps for the SAME
+    # tree within an hour — see PERFORMANCE.md / axon-bench-variance); the
+    # median window is a far more stable estimator of the machine's actual
+    # capability than the mean of one contiguous run
+    window_fps = []
     t0 = time.time()
     for _ in range(ITERS):
+        t_it = time.time()
         ts, stats = iteration(ts)
+        if use_async:
+            # async: per-window walls overlap in-flight updates; windows are
+            # still comparable to each other (steady state)
+            pass
+        else:
+            float(stats["rollout_seconds"])  # already materialized
+        window_fps.append(B * T / (time.time() - t_it))
     if use_async:
         settle_async()
     wall = time.time() - t0
     frames = ITERS * B * T
-    fps = frames / wall
+    sorted_fps = sorted(window_fps)
+    fps = sorted_fps[len(sorted_fps) // 2]
+    print(
+        f"# window fps: {[round(f, 1) for f in window_fps]} -> median {fps:.1f} "
+        f"(mean {frames / wall:.1f})",
+        file=sys.stderr,
+    )
 
     print(
         f"# {frames} frames in {wall:.2f}s | rollout fps last iter: "

@@ -146,13 +146,20 @@ class Learner:
             self.cfg.lagrange.multiplier_lr,
             self.cfg.lagrange.multiplier_upper_bound,
         )
-        return TrainState(
+        state = TrainState(
             tower_params=tower_params,
             frozen_params=frozen,
             opt_state=opt_state,
             lagrange=lag,
             step=jnp.zeros((), jnp.int32),
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # the eagerly-built leaves (opt_state counters, lagrange, step)
+            # live on device 0 only; the update jit requires one device set
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
 
     # ------------------------------------------------------------------
     def _forward(self, tower_params, frozen_params, batch):

@@ -213,11 +213,18 @@ class PolicyTower(nn.Module):
         # which both the XLA and pallas attention paths accept.
         n_prefix = sum(t.shape[1] for t in toks[:-1])
         key_lens = n_prefix + jnp.sum(text_mask.astype(jnp.int32), axis=-1)
+        tokens = jnp.concatenate(toks, axis=1)
+        # pad the token axis ONCE to the flash kernel's sublane multiple
+        # (201 -> 208): hoists the per-layer HBM pad+slice the kernel would
+        # otherwise pay around every attention call. key_lens already
+        # excludes the pad columns from every softmax, so the consumed CLS
+        # row is bit-identical.
+        pad = -tokens.shape[1] % 16
+        if pad:
+            tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
         # only the fused CLS row is consumed -> the last fusion layer computes
         # just that row (identical numerics, ~25% of encoder FLOPs saved)
-        fused = self.fusion(
-            jnp.concatenate(toks, axis=1), key_lens=key_lens, out_rows=1
-        )
+        fused = self.fusion(tokens, key_lens=key_lens, out_rows=1)
         return fused[:, 0].astype(jnp.float32)
 
     def _joint_embed(

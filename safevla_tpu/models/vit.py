@@ -64,7 +64,7 @@ class ViTAttention(nn.Module):
     cfg: DinoViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_lens=None):
         b, t, d = x.shape
         h = self.cfg.num_heads
         qkv = nn.Dense(3 * d, dtype=self.cfg.dtype, name="qkv")(x)
@@ -72,7 +72,7 @@ class ViTAttention(nn.Module):
         # exactly the packed [q|k|v] form the kernel consumes
         from safevla_tpu.ops.flash_attention import attention_qkv
 
-        out = attention_qkv(qkv, h).astype(self.cfg.dtype)
+        out = attention_qkv(qkv, h, key_lens=key_lens).astype(self.cfg.dtype)
         return nn.Dense(d, dtype=self.cfg.dtype, name="proj")(out)
 
 
@@ -80,10 +80,10 @@ class ViTBlock(nn.Module):
     cfg: DinoViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_lens=None):
         d = self.cfg.embed_dim
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.cfg.dtype)
-        y = ViTAttention(self.cfg, name="attn")(y)
+        y = ViTAttention(self.cfg, name="attn")(y, key_lens=key_lens)
         if self.cfg.layerscale:
             y = y * self.param("ls1_gamma", nn.initializers.constant(1e-5), (d,)).astype(self.cfg.dtype)
         x = x + y
@@ -156,11 +156,23 @@ class DinoViT(nn.Module):
             )
         x = x + pos_embed.astype(cfg.dtype)
 
+        # pad the token axis ONCE to the flash kernel's sublane multiple
+        # (433 -> 448 for DINOv2-S): otherwise every block pays an explicit
+        # HBM pad+slice around its attention call (the kernel's internal
+        # padding, hoisted). Padded tokens are excluded from every softmax
+        # via key_lens, so consumed outputs are bit-identical.
+        n_tok = x.shape[1]
+        pad = -n_tok % 16
+        key_lens = None
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            key_lens = jnp.full((b,), n_tok, jnp.int32)
+
         for i in range(cfg.depth):
-            x = ViTBlock(cfg, name=f"block_{i}")(x)
+            x = ViTBlock(cfg, name=f"block_{i}")(x, key_lens=key_lens)
 
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
-        patches = x[:, n_prefix:, :].astype(jnp.float32)  # (B, gh*gw, D)
+        patches = x[:, n_prefix:n_tok, :].astype(jnp.float32)  # (B, gh*gw, D)
 
         # adaptive average pool (gh, gw) -> pool_grid, as two static matmuls
         ph, pw = self.pool_grid

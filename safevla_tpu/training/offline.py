@@ -99,13 +99,19 @@ class OfflineTrainer:
         else:
             init_fn = jax.jit(self.policy.init_params)
         params = init_fn(rng)
-        return BCTrainState(
+        state = BCTrainState(
             tower_params=params["towers"],
             frozen_params={"vit": params["vit"], "t5": params["t5"]},
             opt_state=self.tx.init(params["towers"]),
             step=jnp.zeros((), jnp.int32),
             epoch=jnp.zeros((), jnp.int32),
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # eagerly-built leaves (opt counters, step) land on device 0 only
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
 
     # ------------------------------------------------------------------
     def restore_state(

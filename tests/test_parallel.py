@@ -34,12 +34,13 @@ def test_learner_update_sharded_over_dp(tiny_model_cfg):
     leaf = jax.tree.leaves(ts2.tower_params)[0]
     assert len(leaf.sharding.device_set) in (1, 8)
 
-    # sharded result equals the single-device result
+    # sharded result equals the single-device result (state is
+    # mesh-replicated after init — localize it for the single-device run)
     learner_single = Learner(SafeVLAPolicy(cfg.model), cfg)
-    host_batch = jax.tree.map(
-        lambda x: jax.device_put(np.asarray(x), jax.devices()[0]), batch
-    )
-    ts3, metrics_single = learner_single.update(ts, host_batch, 3.0, 1)
+    to_dev0 = lambda x: jax.device_put(np.asarray(x), jax.devices()[0])
+    host_batch = jax.tree.map(to_dev0, batch)
+    ts_local = jax.tree.map(to_dev0, ts)
+    ts3, metrics_single = learner_single.update(ts_local, host_batch, 3.0, 1)
     np.testing.assert_allclose(
         float(metrics["total"]), float(metrics_single["total"]), rtol=2e-4
     )
@@ -154,10 +155,9 @@ def test_learner_update_on_2d_mesh(tiny_model_cfg):
     assert np.isfinite(float(metrics["total"]))
 
     learner_single = Learner(SafeVLAPolicy(cfg.model), cfg)
-    host_batch = jax.tree.map(
-        lambda x: jax.device_put(np.asarray(x), jax.devices()[0]), batch
-    )
-    ts3, _ = learner_single.update(ts, host_batch, 3.0, 1)
+    to_dev0 = lambda x: jax.device_put(np.asarray(x), jax.devices()[0])
+    host_batch = jax.tree.map(to_dev0, batch)
+    ts3, _ = learner_single.update(jax.tree.map(to_dev0, ts), host_batch, 3.0, 1)
     a = np.asarray(jax.tree.leaves(ts2.tower_params)[0])
     b = np.asarray(jax.tree.leaves(ts3.tower_params)[0])
     np.testing.assert_allclose(a, b, atol=2e-5)
