@@ -290,6 +290,15 @@ def interpolate_pos_embed(
         return np.concatenate([cls_tok, t.reshape(1, dh * dw, -1)], axis=1)
 
 
+def _stack_blocks(blocks):
+    """Per-layer param dicts -> one dict with depth-stacked leaves (the
+    nn.scan layout DinoViT consumes)."""
+    first = blocks[0]
+    if isinstance(first, dict):
+        return {k: _stack_blocks([b[k] for b in blocks]) for k in first}
+    return np.stack(blocks)
+
+
 def import_dinov2(sd: Dict[str, Any], depth: int = 12, grid=(16, 27)) -> Dict[str, Any]:
     """torch-hub dinov2_vits14 state dict -> safevla_tpu.models.vit params."""
     p: Dict[str, Any] = {}
@@ -301,20 +310,22 @@ def import_dinov2(sd: Dict[str, Any], depth: int = 12, grid=(16, 27)) -> Dict[st
     n_src = pos.shape[1] - 1
     side = int(round(n_src**0.5))
     p["pos_embed"] = interpolate_pos_embed(pos, (side, side), grid)
-    for i in range(depth):
-        bp = f"blocks.{i}"
-        p[f"block_{i}"] = {
-            "norm1": _layernorm(sd, f"{bp}.norm1"),
-            "norm2": _layernorm(sd, f"{bp}.norm2"),
+    blocks = [
+        {
+            "norm1": _layernorm(sd, f"blocks.{i}.norm1"),
+            "norm2": _layernorm(sd, f"blocks.{i}.norm2"),
             "attn": {
-                "qkv": _linear(sd, f"{bp}.attn.qkv"),
-                "proj": _linear(sd, f"{bp}.attn.proj"),
+                "qkv": _linear(sd, f"blocks.{i}.attn.qkv"),
+                "proj": _linear(sd, f"blocks.{i}.attn.proj"),
             },
-            "mlp_fc1": _linear(sd, f"{bp}.mlp.fc1"),
-            "mlp_fc2": _linear(sd, f"{bp}.mlp.fc2"),
-            "ls1_gamma": _t(sd[f"{bp}.ls1.gamma"]),
-            "ls2_gamma": _t(sd[f"{bp}.ls2.gamma"]),
+            "mlp_fc1": _linear(sd, f"blocks.{i}.mlp.fc1"),
+            "mlp_fc2": _linear(sd, f"blocks.{i}.mlp.fc2"),
+            "ls1_gamma": _t(sd[f"blocks.{i}.ls1.gamma"]),
+            "ls2_gamma": _t(sd[f"blocks.{i}.ls2.gamma"]),
         }
+        for i in range(depth)
+    ]
+    p["blocks"] = _stack_blocks(blocks)
     p["norm"] = _layernorm(sd, "norm")
     return {"params": p}
 
@@ -338,18 +349,20 @@ def import_siglip_trunk(sd: Dict[str, Any], depth: int = 12) -> Dict[str, Any]:
     p["patch_embed_bias"] = _t(sd["patch_embed.proj.bias"])
     # SigLIP-256 pos_embed is already the (16, 16) grid: no interpolation
     p["pos_embed"] = _t(sd["pos_embed"])
-    for i in range(depth):
-        bp = f"blocks.{i}"
-        p[f"block_{i}"] = {
-            "norm1": _layernorm(sd, f"{bp}.norm1"),
-            "norm2": _layernorm(sd, f"{bp}.norm2"),
+    blocks = [
+        {
+            "norm1": _layernorm(sd, f"blocks.{i}.norm1"),
+            "norm2": _layernorm(sd, f"blocks.{i}.norm2"),
             "attn": {
-                "qkv": _linear(sd, f"{bp}.attn.qkv"),
-                "proj": _linear(sd, f"{bp}.attn.proj"),
+                "qkv": _linear(sd, f"blocks.{i}.attn.qkv"),
+                "proj": _linear(sd, f"blocks.{i}.attn.proj"),
             },
-            "mlp_fc1": _linear(sd, f"{bp}.mlp.fc1"),
-            "mlp_fc2": _linear(sd, f"{bp}.mlp.fc2"),
+            "mlp_fc1": _linear(sd, f"blocks.{i}.mlp.fc1"),
+            "mlp_fc2": _linear(sd, f"blocks.{i}.mlp.fc2"),
         }
+        for i in range(depth)
+    ]
+    p["blocks"] = _stack_blocks(blocks)
     p["norm"] = _layernorm(sd, "norm")
     return {"params": p}
 

@@ -77,6 +77,13 @@ class ViTAttention(nn.Module):
 
 
 class ViTBlock(nn.Module):
+    """One transformer block. Scan-body convention: returns (x, None) so the
+    layer stack can run as ONE `nn.scan` module — all `depth` layers' params
+    live in stacked leaves (leading axis = depth). That cuts the backbone
+    from ~14*depth param leaves to ~14, which matters twice: per-dispatch
+    argument marshaling in the rollout hot loop (~1k dispatches/window on a
+    one-core host) and the lowered HLO size (one block traced, not depth)."""
+
     cfg: DinoViTConfig
 
     @nn.compact
@@ -98,7 +105,7 @@ class ViTBlock(nn.Module):
         y = nn.Dense(d, dtype=self.cfg.dtype, name="mlp_fc2")(y)
         if self.cfg.layerscale:
             y = y * self.param("ls2_gamma", nn.initializers.constant(1e-5), (d,)).astype(self.cfg.dtype)
-        return x + y
+        return x + y, None
 
 
 class DinoViT(nn.Module):
@@ -168,8 +175,16 @@ class DinoViT(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
             key_lens = jnp.full((b,), n_tok, jnp.int32)
 
-        for i in range(cfg.depth):
-            x = ViTBlock(cfg, name=f"block_{i}")(x, key_lens=key_lens)
+        # all blocks as ONE scan module with depth-stacked param leaves (see
+        # ViTBlock docstring); key_lens broadcasts unscanned to every layer
+        blocks = nn.scan(
+            ViTBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=cfg.depth,
+        )(cfg, name="blocks")
+        x, _ = blocks(x, key_lens)
 
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         patches = x[:, n_prefix:n_tok, :].astype(jnp.float32)  # (B, gh*gw, D)
