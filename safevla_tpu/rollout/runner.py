@@ -225,10 +225,27 @@ class RolloutRunner:
                 )
             return storage
 
+        # merged action fetch: one blocking device->host fetch per TIME STEP
+        # (a concat of all groups' action vectors) instead of one per
+        # (group, step). Over the device tunnel every blocking fetch pays an
+        # RTT even when the async copy completed, so cutting the fetch count
+        # n_groups-fold attacks the largest single rollout host line
+        # (~2.3 ms x ~1k fetches/window measured in sync mode). Off by
+        # default until measured on chip; meaningless at one group / with a
+        # mesh (the mesh act path shards streams, not fetch structure).
+        import os as _os
+
+        self._merged_fetch = (
+            _os.environ.get("SAFEVLA_MERGED_FETCH", "0") == "1"
+            and mesh is None
+            and self.n_groups > 1
+        )
+
         if mesh is None:
             self._jit_rollout_step = jax.jit(self._rollout_step, donate_argnums=(1, 2))
             self._jit_encode_text = jax.jit(self._encode_text)
             self._jit_splice = jax.jit(_splice, donate_argnums=0)
+            self._jit_concat_actions = jax.jit(lambda *xs: jnp.concatenate(xs))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -487,10 +504,11 @@ class RolloutRunner:
                 jnp.asarray(self._pack(g, t)),
                 self._aug_params,
             )
-            try:
-                action.copy_to_host_async()
-            except Exception:
-                pass
+            if not self._merged_fetch:  # merged mode copies the concat instead
+                try:
+                    action.copy_to_host_async()
+                except Exception:
+                    pass
         self._global_step += 1
         return (action, v, cv), storage
 
@@ -578,11 +596,29 @@ class RolloutRunner:
             else:
                 inflight[g], storage = self._dispatch(g, 0, storage)
 
+        def _merge(infl):
+            # one (B,) actions array per time step; the async copy makes the
+            # single blocking fetch next iteration (usually) a local read
+            merged = self._jit_concat_actions(*[a for (a, _, _) in infl])
+            try:
+                merged.copy_to_host_async()
+            except Exception:
+                pass
+            return merged
+
+        merged = _merge(inflight) if self._merged_fetch else None
+
         for t in range(T):
-            for g in range(self.n_groups):
-                action, v, cv = inflight[g]
+            if self._merged_fetch:
                 with self.timer.section("action_fetch"):
-                    actions_host = np.asarray(action)
+                    all_actions = np.asarray(merged)
+            for g in range(self.n_groups):
+                if self._merged_fetch:
+                    actions_host = all_actions[self._lo(g) : self._hi(g)]
+                else:
+                    action, v, cv = inflight[g]
+                    with self.timer.section("action_fetch"):
+                        actions_host = np.asarray(action)
                 self._env_step_group(g, t, actions_host, rewards, costs)
                 if t + 1 < T:
                     masks[t + 1, self._lo(g) : self._hi(g)] = (
@@ -591,6 +627,8 @@ class RolloutRunner:
                     inflight[g], storage = self._dispatch(g, t + 1, storage)
                 else:
                     inflight[g] = None
+            if self._merged_fetch and t + 1 < T:
+                merged = _merge(inflight)
             if interleave_fn is not None:
                 interleave_fn(t)
 

@@ -251,3 +251,39 @@ def test_rollout_deterministic_given_seed(tiny_cfg):
     a2, r2 = run()
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_merged_action_fetch_equivalence(tiny_cfg, monkeypatch):
+    """SAFEVLA_MERGED_FETCH=1 (one action fetch per step, concat of all
+    groups) produces the exact same trajectories as per-group fetches —
+    only the host<->device fetch structure changes."""
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+    from safevla_tpu.rollout.env_pool import EnvPool
+    from safevla_tpu.rollout.runner import RolloutRunner
+
+    policy = SafeVLAPolicy(tiny_cfg.model)
+    learner = Learner(policy, tiny_cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    params = {"towers": ts.tower_params, **ts.frozen_params}
+
+    def run(merged):
+        monkeypatch.setenv("SAFEVLA_MERGED_FETCH", "1" if merged else "0")
+        pool = EnvPool(make_sampler_factory(max_steps=5), num_streams=4, num_workers=0)
+        runner = RolloutRunner(policy, tiny_cfg, pool, seed=7, overlap_groups=2)
+        assert runner._merged_fetch == merged
+        batch, _ = runner.collect(params, 10)
+        # second window exercises the pending/splice boundary too
+        batch2, _ = runner.collect(params, 10)
+        pool.close()
+        return batch, batch2
+
+    b_ref, b2_ref = run(False)
+    b_m, b2_m = run(True)
+    for a, b in ((b_ref, b_m), (b2_ref, b2_m)):
+        np.testing.assert_array_equal(np.asarray(a["actions"]), np.asarray(b["actions"]))
+        np.testing.assert_array_equal(np.asarray(a["rewards"]), np.asarray(b["rewards"]))
+        np.testing.assert_array_equal(np.asarray(a["masks"]), np.asarray(b["masks"]))
+        np.testing.assert_allclose(
+            np.asarray(a["old_log_probs"]), np.asarray(b["old_log_probs"]), rtol=1e-6
+        )
