@@ -56,6 +56,8 @@ def main():
     cfg.ppo.num_steps = T
     cfg.train.max_steps = 500
     cfg.model.fusion_chunk = int(os.environ.get("BENCH_FUSION_CHUNK", "128"))
+    if os.environ.get("BENCH_ASYNC_CHUNK"):
+        cfg.model.async_fusion_chunk = int(os.environ["BENCH_ASYNC_CHUNK"])
 
     # FakeController environments at the production camera resolution
     from tests.test_rollout_training import make_sampler_factory

@@ -501,7 +501,8 @@ class Learner:
 
     def chunk_sizes(self, n: int) -> Tuple[int, int]:
         """(fwd_chunk, bwd_chunk) actually used for an n-sample window."""
-        chunk = min(self.cfg.model.fusion_chunk or n, n)
+        cfg_chunk = self.cfg.model.async_fusion_chunk or self.cfg.model.fusion_chunk
+        chunk = min(cfg_chunk or n, n)
         while n % chunk:
             chunk -= 1
         bwd_chunk = max(chunk // 2, 1)

@@ -66,6 +66,14 @@ class ModelConfig:
     # the matmuls are still MXU-saturated at 128x201 rows.
     fusion_chunk: int = 128
 
+    # chunk size for the ASYNC pipeline's per-program decomposition
+    # (learner.iter_chunked_update). None = follow fusion_chunk. Smaller
+    # async chunks mean shorter device programs between act dispatches, so
+    # action fetches stall less behind in-flight update work — at the cost
+    # of more host dispatches. Tunable separately because the sync update's
+    # remat chunk is swept for compiler-spill behavior, not stall latency.
+    async_fusion_chunk: Optional[int] = None
+
     # number of stacked towers: 1 = shared actor/critic head,
     # 3 = separate actor / reward-critic / cost-critic full towers
     # (reference separate_actor_critic.py builds 3 sequential towers)
