@@ -176,13 +176,20 @@ class DinoViT(nn.Module):
             key_lens = jnp.full((b,), n_tok, jnp.int32)
 
         # all blocks as ONE scan module with depth-stacked param leaves (see
-        # ViTBlock docstring); key_lens broadcasts unscanned to every layer
+        # ViTBlock docstring); key_lens broadcasts unscanned to every layer.
+        # SAFEVLA_VIT_UNROLL=1 unrolls the scan at trace time — identical
+        # param tree, but the lowered program matches the old per-block
+        # unrolled form (fallback / fusion-across-layers A/B on chip).
+        import os as _os
+
+        unroll = cfg.depth if _os.environ.get("SAFEVLA_VIT_UNROLL", "0") == "1" else 1
         blocks = nn.scan(
             ViTBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,
             length=cfg.depth,
+            unroll=unroll,
         )(cfg, name="blocks")
         x, _ = blocks(x, key_lens)
 
