@@ -501,7 +501,11 @@ class Learner:
 
     def chunk_sizes(self, n: int) -> Tuple[int, int]:
         """(fwd_chunk, bwd_chunk) actually used for an n-sample window."""
-        cfg_chunk = self.cfg.model.async_fusion_chunk or self.cfg.model.fusion_chunk
+        # None = follow fusion_chunk; 0 keeps the "one full-window chunk"
+        # convention (same as fusion_chunk=0, actor_critic.py)
+        cfg_chunk = self.cfg.model.async_fusion_chunk
+        if cfg_chunk is None:
+            cfg_chunk = self.cfg.model.fusion_chunk
         chunk = min(cfg_chunk or n, n)
         while n % chunk:
             chunk -= 1

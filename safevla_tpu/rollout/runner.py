@@ -598,12 +598,15 @@ class RolloutRunner:
 
         def _merge(infl):
             # one (B,) actions array per time step; the async copy makes the
-            # single blocking fetch next iteration (usually) a local read
-            merged = self._jit_concat_actions(*[a for (a, _, _) in infl])
-            try:
-                merged.copy_to_host_async()
-            except Exception:
-                pass
+            # single blocking fetch next iteration (usually) a local read.
+            # Timed as dispatch so the merged-vs-per-group A/B sees the added
+            # concat program, not just the saved fetches.
+            with self.timer.section("dispatch"):
+                merged = self._jit_concat_actions(*[a for (a, _, _) in infl])
+                try:
+                    merged.copy_to_host_async()
+                except Exception:
+                    pass
             return merged
 
         merged = _merge(inflight) if self._merged_fetch else None

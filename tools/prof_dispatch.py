@@ -14,8 +14,6 @@ import argparse
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-
 
 def make_tree(n_leaves, jnp):
     tree = {}
