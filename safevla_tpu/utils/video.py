@@ -87,6 +87,8 @@ def draw_text(frame: np.ndarray, text: str, x: int, y: int, color=(255, 255, 0))
             mask = font[idx]
             h, w = mask.shape
             y2, x2 = min(y + h, frame.shape[0]), min(x + w, frame.shape[1])
+            if y2 <= y or x2 <= x:  # glyph fully off-frame: stop drawing
+                break
             sub = mask[: y2 - y, : x2 - x]
             frame[y:y2, x:x2][sub] = color
         x += 6
