@@ -75,10 +75,12 @@ def import_tower_state_dict(
       visual_encoder.text_adapter.{0,1}        -> text_adapter_fc / _ln
       visual_encoder.fusion_token              -> fusion_token
       visual_encoder.visual_sensor_token_*     -> nav/manip_camera_token
-      visual_encoder.fusion_xformer.layers.N.* -> fusion.layer_N.*
+      visual_encoder.fusion_xformer.layers.N.* -> fusion.layers (first N-1,
+          depth-stacked scan leaves) / fusion.layer_last
       last_actions_embed.weight                -> prev_action_embed
       object_in_hand_embed.weight              -> object_in_hand_embed
-      decoder.layers.N.{attention.w*,feed_forward.w*,*_norm} -> decoder.layer_N
+      decoder.layers.N.{attention.w*,feed_forward.w*,*_norm} -> decoder.layers
+          (depth-stacked scan leaves)
       decoder.{norm,output}                    -> decoder.{norm,output}
       actor.linear                             -> actor_head
       critic.fc                                -> critic_head
@@ -103,10 +105,9 @@ def import_tower_state_dict(
             sd[f"{ve}.visual_sensor_token_raw_manipulation_camera"]
         )
 
-    fusion: Dict[str, Any] = {}
-    for i in range(combiner_layers):
+    def _fusion_layer(i):
         fp = f"{ve}.fusion_xformer.layers.{i}"
-        fusion[f"layer_{i}"] = {
+        return {
             "self_attn": {
                 "in_proj_weight": _t(sd[f"{fp}.self_attn.in_proj_weight"]),
                 "in_proj_bias": _t(sd[f"{fp}.self_attn.in_proj_bias"]),
@@ -117,16 +118,22 @@ def import_tower_state_dict(
             "norm1": _layernorm(sd, f"{fp}.norm1"),
             "norm2": _layernorm(sd, f"{fp}.norm2"),
         }
+
+    # first n-1 layers depth-stacked for the scan module, last separate
+    fusion: Dict[str, Any] = {"layer_last": _fusion_layer(combiner_layers - 1)}
+    if combiner_layers > 1:
+        fusion["layers"] = _stack_blocks(
+            [_fusion_layer(i) for i in range(combiner_layers - 1)]
+        )
     p["fusion"] = fusion
 
     p["prev_action_embed"] = _t(sd["last_actions_embed.weight"])
     if "object_in_hand_embed.weight" in sd:
         p["object_in_hand_embed"] = _t(sd["object_in_hand_embed.weight"])
 
-    dec: Dict[str, Any] = {}
-    for i in range(num_tx_layers):
+    def _decoder_layer(i):
         dp = f"decoder.layers.{i}"
-        dec[f"layer_{i}"] = {
+        return {
             "attention": {
                 "wq": _linear(sd, f"{dp}.attention.wq", bias=False),
                 "wk": _linear(sd, f"{dp}.attention.wk", bias=False),
@@ -141,6 +148,11 @@ def import_tower_state_dict(
             "attention_norm": _rmsnorm(sd, f"{dp}.attention_norm"),
             "ffn_norm": _rmsnorm(sd, f"{dp}.ffn_norm"),
         }
+
+    # all decoder layers depth-stacked for the scan module
+    dec: Dict[str, Any] = {
+        "layers": _stack_blocks([_decoder_layer(i) for i in range(num_tx_layers)])
+    }
     dec["norm"] = _rmsnorm(sd, "decoder.norm")
     dec["output"] = _linear(sd, "decoder.output", bias=False)
     p["decoder"] = dec

@@ -74,6 +74,13 @@ class TorchMultiheadAttention(nn.Module):
 
 
 class FusionLayer(nn.Module):
+    """One post-LN encoder layer, written as an `nn.scan` body (returns
+    (x, None)): the first n-1 layers run as ONE scan module with depth-stacked
+    param leaves — per-dispatch argument marshaling in the rollout hot loop
+    scales with leaf count over the axon tunnel (see models/vit.py ViTBlock).
+    The last layer is a separate module because it optionally restricts the
+    query rows (q_rows, see FusionTransformer.out_rows)."""
+
     dim: int
     num_heads: int
     ffn_dim: int
@@ -94,7 +101,7 @@ class FusionLayer(nn.Module):
         y = nn.relu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + y)
-        return x.astype(self.dtype)
+        return x.astype(self.dtype), None
 
 
 class FusionTransformer(nn.Module):
@@ -122,11 +129,27 @@ class FusionTransformer(nn.Module):
         out-proj / MLP for those rows alone — identical numerics for the
         consumed rows, ~10/12 of the final layer's per-token work skipped for
         the rest (~25% of the encoder's FLOPs at 201 tokens, 3 layers)."""
+        import os
+
         x = tokens.astype(self.dtype)
-        for i in range(self.num_layers):
-            last = i == self.num_layers - 1
-            x = FusionLayer(self.dim, self.num_heads, self.ffn_dim, self.dtype, name=f"layer_{i}")(
-                x, key_mask, key_lens,
-                q_rows=out_rows if (last and out_rows is not None) else None,
+        if self.num_layers > 1:
+            # first n-1 layers as one scan module with depth-stacked params
+            # (SAFEVLA_TOWER_UNROLL=1 unrolls at trace time, same tree)
+            unroll = (
+                self.num_layers - 1
+                if os.environ.get("SAFEVLA_TOWER_UNROLL", "0") == "1"
+                else 1
             )
+            blocks = nn.scan(
+                FusionLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_layers - 1,
+                unroll=unroll,
+            )(self.dim, self.num_heads, self.ffn_dim, self.dtype, name="layers")
+            x, _ = blocks(x, key_mask, key_lens)
+        x, _ = FusionLayer(
+            self.dim, self.num_heads, self.ffn_dim, self.dtype, name="layer_last"
+        )(x, key_mask, key_lens, q_rows=out_rows)
         return x

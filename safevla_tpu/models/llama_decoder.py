@@ -126,6 +126,14 @@ class FeedForward(nn.Module):
 
 
 class DecoderBlock(nn.Module):
+    """One decoder block, written as an `nn.scan` body: carry is the hidden
+    state, the scanned input is this layer's KV-cache slice (or None on the
+    full-sequence path), the scanned output is the updated slice. Running the
+    layer stack as ONE scan module keeps all layers' params in depth-stacked
+    leaves (9 leaves instead of 9 * n_layers) — per-dispatch argument
+    marshaling in the rollout hot loop scales with leaf count over the axon
+    tunnel (see models/vit.py ViTBlock for the same treatment)."""
+
     cfg: DecoderConfig
 
     def setup(self):
@@ -134,14 +142,34 @@ class DecoderBlock(nn.Module):
         self.attention_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps)
         self.ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps)
 
-    def full(self, x, mask):
-        h = x + self.attention.full(self.attention_norm(x), mask)
-        return h + self.feed_forward(self.ffn_norm(h))
-
-    def step(self, x, cache_k, cache_v, pos, mask):
-        a, ck, cv = self.attention.step(self.attention_norm(x), cache_k, cache_v, pos, mask)
+    def __call__(self, x, cache, pos, mask):
+        if cache is None:  # full-sequence path (static branch at trace time)
+            h = x + self.attention.full(self.attention_norm(x), mask)
+            return h + self.feed_forward(self.ffn_norm(h)), None
+        a, ck, cv = self.attention.step(
+            self.attention_norm(x), cache[0], cache[1], pos, mask
+        )
         h = x + a
-        return h + self.feed_forward(self.ffn_norm(h)), ck, cv
+        return h + self.feed_forward(self.ffn_norm(h)), (ck, cv)
+
+
+def _scanned_blocks(cfg: DecoderConfig):
+    """The layer stack as one scan module with depth-stacked param leaves.
+    SAFEVLA_TOWER_UNROLL=1 unrolls at trace time — identical param tree,
+    lowered program matches the old per-layer form (on-chip A/B knob,
+    mirrors SAFEVLA_VIT_UNROLL)."""
+    import os
+
+    unroll = cfg.n_layers if os.environ.get("SAFEVLA_TOWER_UNROLL", "0") == "1" else 1
+    return nn.scan(
+        DecoderBlock,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        in_axes=(0, nn.broadcast, nn.broadcast),
+        out_axes=0,
+        length=cfg.n_layers,
+        unroll=unroll,
+    )(cfg, name="layers")
 
 
 class LlamaDecoder(nn.Module):
@@ -155,28 +183,23 @@ class LlamaDecoder(nn.Module):
     cfg: DecoderConfig
 
     def setup(self):
-        self.layers = [DecoderBlock(self.cfg, name=f"layer_{i}") for i in range(self.cfg.n_layers)]
+        self.layers = _scanned_blocks(self.cfg)
         self.norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps)
         # bias-free projection back to dim (reference vocab_size == dim)
         self.output = nn.Dense(self.cfg.dim, use_bias=False, dtype=self.cfg.dtype, name="output")
 
     def full(self, x, mask):
         h = x.astype(self.cfg.dtype)
-        for layer in self.layers:
-            h = layer.full(h, mask)
+        h, _ = self.layers(h, None, None, mask)
         h = self.norm(h)
         return self.output(h).astype(jnp.float32)
 
     def step(self, x, cache, pos, mask):
         h = x.astype(self.cfg.dtype)
-        new_k, new_v = [], []
-        for i, layer in enumerate(self.layers):
-            h, ck, cv = layer.step(h, cache["k"][i], cache["v"][i], pos, mask)
-            new_k.append(ck)
-            new_v.append(cv)
+        h, (new_k, new_v) = self.layers(h, (cache["k"], cache["v"]), pos, mask)
         h = self.norm(h)
         out = self.output(h).astype(jnp.float32)
-        return out, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+        return out, {"k": new_k, "v": new_v}
 
     def __call__(self, x, mask):
         # default path (used for init)

@@ -58,19 +58,23 @@ def _ref_decoder():
 
 def _our_decoder_params(ref_dec):
     """Map the reference decoder's state_dict onto our LlamaDecoder params."""
+    from safevla_tpu.models.convert import _stack_blocks
+
     sd = {k: v.detach().numpy() for k, v in ref_dec.state_dict().items()}
     lin = lambda p: {"kernel": sd[p + ".weight"].T}
     norm = lambda p: {"weight": sd[p + ".weight"]}
-    layers = {
-        f"layer_{i}": {
-            "attention": {w: lin(f"layers.{i}.attention.{w}") for w in ("wq", "wk", "wv", "wo")},
-            "feed_forward": {w: lin(f"layers.{i}.feed_forward.{w}") for w in ("w1", "w2", "w3")},
-            "attention_norm": norm(f"layers.{i}.attention_norm"),
-            "ffn_norm": norm(f"layers.{i}.ffn_norm"),
-        }
-        for i in range(LAYERS)
-    }
-    return {"params": {**layers, "norm": norm("norm"), "output": lin("output")}}
+    layers = _stack_blocks(
+        [
+            {
+                "attention": {w: lin(f"layers.{i}.attention.{w}") for w in ("wq", "wk", "wv", "wo")},
+                "feed_forward": {w: lin(f"layers.{i}.feed_forward.{w}") for w in ("w1", "w2", "w3")},
+                "attention_norm": norm(f"layers.{i}.attention_norm"),
+                "ffn_norm": norm(f"layers.{i}.ffn_norm"),
+            }
+            for i in range(LAYERS)
+        ]
+    )
+    return {"params": {"layers": layers, "norm": norm("norm"), "output": lin("output")}}
 
 
 def _our_decoder():
