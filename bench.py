@@ -26,7 +26,47 @@ import time
 REFERENCE_A100_FRAMES_PER_SEC_ESTIMATE = 2000.0
 
 
+def _probe_device(timeout_s: int = 420) -> bool:
+    """Run a tiny device op in a CHILD process with a hard timeout.
+
+    The axon tunnel, when its upstream link is down, HANGS `jax.devices()`
+    rather than erroring (observed 2026-08-17/18) — and a hung bench leaves
+    the driver with no artifact at all. Probing in a subprocess keeps this
+    process clean so it can emit an honest JSON error line instead.
+    """
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8));"
+        "(x @ x).block_until_ready();"
+        "print('ok')"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and not _probe_device():
+        print("# device probe failed: TPU tunnel unreachable", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "env_frames_per_sec_per_chip_rollout_plus_update",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu_unreachable: device probe timed out (tunnel down); no measurement taken",
+                }
+            )
+        )
+        return
     import jax
     import numpy as np
 

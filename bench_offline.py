@@ -31,6 +31,22 @@ from safevla_tpu.training.offline import OfflineTrainer
 
 
 def main():
+    from bench import _probe_device
+
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and not _probe_device():
+        print("# device probe failed: TPU tunnel unreachable", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "bc_frames_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu_unreachable: device probe timed out (tunnel down); no measurement taken",
+                }
+            )
+        )
+        return
     B = int(os.environ.get("BENCH_BC_BATCH", "16"))
     T = int(os.environ.get("BENCH_BC_WINDOW", "50"))
     iters = int(os.environ.get("BENCH_BC_ITERS", "10"))

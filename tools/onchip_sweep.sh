@@ -25,4 +25,9 @@ run unroll_both SAFEVLA_VIT_UNROLL=1 SAFEVLA_TOWER_UNROLL=1 SAFEVLA_MERGED_FETCH
 # 5. async re-check: default chunk, then finer async chunk
 run async128 BENCH_ASYNC=1 SAFEVLA_MERGED_FETCH=1
 run async32  BENCH_ASYNC=1 SAFEVLA_MERGED_FETCH=1 BENCH_ASYNC_CHUNK=32
+# 6. device traces for the NEXT lever hunt (update op table + rollout/ViT)
+timeout 1800 python tools/prof_update_trace.py  >/tmp/sweep_update_trace.log 2>&1
+timeout 1800 python tools/prof_vit.py           >/tmp/sweep_vit.log 2>&1
+# 7. offline BC number for the round record
+timeout 2400 python bench_offline.py >/tmp/sweep_offline.json 2>/tmp/sweep_offline.log
 echo DONE
