@@ -63,6 +63,10 @@ def main():
                     "unit": "frames/s",
                     "vs_baseline": 0.0,
                     "error": "tpu_unreachable: device probe timed out (tunnel down); no measurement taken",
+                    # last clean on-chip reading of this tree's predecessor
+                    # (2026-08-17, pre-outage; see PERFORMANCE.md round 3)
+                    "last_measured_value": 309.2,
+                    "last_measured_date": "2026-08-17",
                 }
             )
         )

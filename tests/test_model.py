@@ -126,3 +126,21 @@ def test_sinusoidal_time_encoding_matches_reference_formula():
     div = np.exp(np.arange(0, d, 2) * (-math.log(10000.0) / d))
     expect_sin = np.sin(5 * div)
     np.testing.assert_allclose(pe[0, 2, 0::2], expect_sin, atol=1e-5)
+
+
+def test_act_dispatch_leaf_budget():
+    """The rollout hot loop pays per-leaf argument marshaling on every
+    dispatch (~1k/window over the axon tunnel) — the scan-stacked ViT/
+    decoder/fusion layouts are a perf invariant, not an implementation
+    detail. Budgets are the production-config counts at the time the
+    layouts landed; growing them needs a deliberate decision."""
+    import jax
+    from safevla_tpu.config import Config
+    from safevla_tpu.models import SafeVLAPolicy
+
+    cfg = Config().model
+    pol = SafeVLAPolicy(cfg)
+    params = pol.init_params(jax.random.PRNGKey(0))
+    leaves = lambda t: len(jax.tree_util.tree_leaves(t))
+    assert leaves(params["vit"]) <= 20, leaves(params["vit"])
+    assert leaves(params["towers"]) <= 56, leaves(params["towers"])
