@@ -129,17 +129,14 @@ class FusionTransformer(nn.Module):
         out-proj / MLP for those rows alone — identical numerics for the
         consumed rows, ~10/12 of the final layer's per-token work skipped for
         the rest (~25% of the encoder's FLOPs at 201 tokens, 3 layers)."""
-        import os
-
         x = tokens.astype(self.dtype)
         if self.num_layers > 1:
             # first n-1 layers as one scan module with depth-stacked params
-            # (SAFEVLA_TOWER_UNROLL=1 unrolls at trace time, same tree)
-            unroll = (
-                self.num_layers - 1
-                if os.environ.get("SAFEVLA_TOWER_UNROLL", "0") == "1"
-                else 1
-            )
+            # (lowering platform-defaulted; SAFEVLA_TOWER_UNROLL overrides —
+            # models/scan_policy.py)
+            from safevla_tpu.models.scan_policy import stack_unroll
+
+            unroll = stack_unroll(self.num_layers - 1, "SAFEVLA_TOWER_UNROLL")
             blocks = nn.scan(
                 FusionLayer,
                 variable_axes={"params": 0},

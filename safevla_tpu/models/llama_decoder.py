@@ -155,12 +155,12 @@ class DecoderBlock(nn.Module):
 
 def _scanned_blocks(cfg: DecoderConfig):
     """The layer stack as one scan module with depth-stacked param leaves.
-    SAFEVLA_TOWER_UNROLL=1 unrolls at trace time — identical param tree,
-    lowered program matches the old per-layer form (on-chip A/B knob,
-    mirrors SAFEVLA_VIT_UNROLL)."""
-    import os
+    Lowering is platform-defaulted (unrolled on TPU, rolled scan on CPU);
+    SAFEVLA_TOWER_UNROLL overrides — identical param tree either way
+    (models/scan_policy.py)."""
+    from safevla_tpu.models.scan_policy import stack_unroll
 
-    unroll = cfg.n_layers if os.environ.get("SAFEVLA_TOWER_UNROLL", "0") == "1" else 1
+    unroll = stack_unroll(cfg.n_layers, "SAFEVLA_TOWER_UNROLL")
     return nn.scan(
         DecoderBlock,
         variable_axes={"params": 0},

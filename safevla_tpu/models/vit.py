@@ -177,12 +177,11 @@ class DinoViT(nn.Module):
 
         # all blocks as ONE scan module with depth-stacked param leaves (see
         # ViTBlock docstring); key_lens broadcasts unscanned to every layer.
-        # SAFEVLA_VIT_UNROLL=1 unrolls the scan at trace time — identical
-        # param tree, but the lowered program matches the old per-block
-        # unrolled form (fallback / fusion-across-layers A/B on chip).
-        import os as _os
+        # Lowering is platform-defaulted (unrolled on TPU, rolled on CPU);
+        # SAFEVLA_VIT_UNROLL overrides — identical param tree either way.
+        from safevla_tpu.models.scan_policy import stack_unroll
 
-        unroll = cfg.depth if _os.environ.get("SAFEVLA_VIT_UNROLL", "0") == "1" else 1
+        unroll = stack_unroll(cfg.depth, "SAFEVLA_VIT_UNROLL")
         blocks = nn.scan(
             ViTBlock,
             variable_axes={"params": 0},
