@@ -73,12 +73,12 @@ class InferenceAgent:
             lambda p, t, m: self.policy.encode_text(p, t, m)
         )
 
-    def _policy_step(self, params, state, aug, rgb_nav, rgb_manip, prev, not_reset, oih, rng):
+    def _policy_step(self, params, state, aug, imgs, ints, rng):
         from safevla_tpu.constants import rgb_norm_constants
         from safevla_tpu.preprocessing.augment import apply_augment
 
         means, stds = rgb_norm_constants(self.cfg.model.vision_backbone)
-        imgs = jnp.concatenate([rgb_nav, rgb_manip], axis=0)
+        prev, not_reset, oih = ints[0], ints[1], ints[2]
         x01 = apply_augment(imgs.astype(jnp.float32) / 255.0, aug)
         x = (x01 - jnp.asarray(means)) / jnp.asarray(stds)
         feats = self.policy.encode_images(params, x)
@@ -88,7 +88,7 @@ class InferenceAgent:
         greedy = jnp.argmax(logits, axis=-1)
         sampled = jax.random.categorical(rng, logits)
         action = greedy if self.mode == "greedy" else sampled
-        return action, logits, v, cv, new_state
+        return action, jax.nn.softmax(logits, axis=-1), v, cv, new_state
 
     # ------------------------------------------------------------------
     def set_instructions(self, instructions: List[Optional[str]]):
@@ -111,7 +111,14 @@ class InferenceAgent:
             self._text_ready = True
 
     def act(self, rgb_nav, rgb_manip, not_reset, oih) -> np.ndarray:
-        """One batched act. Arrays are host uint8/int; returns actions (B,)."""
+        """One batched act. Arrays are host uint8/int; returns actions (B,).
+
+        Host<->device traffic per step (the eval loop is upload-bound over
+        the bench tunnel — PERFORMANCE.md "Eval-path throughput"): ONE packed
+        frame upload (both cameras), ONE packed int32 upload, ONE action
+        fetch with an async copy started at dispatch. The action
+        distribution stays on device; `last_probs` fetches it lazily (only
+        video-recorded steps pay that second fetch)."""
         if self.test_augmentation:
             if self._aug_steps % self.cfg.train.max_steps == 0:
                 self._aug_key, sub = jax.random.split(self._aug_key)
@@ -120,22 +127,36 @@ class InferenceAgent:
                 )
             self._aug_steps += 1
         self.rng, sub = jax.random.split(self.rng)
-        action, logits, v, cv, self.state = self._step_impl(
+        ints = np.stack(
+            [
+                self.prev_action,
+                np.asarray(not_reset, np.int32),
+                np.asarray(oih, np.int32),
+            ]
+        ).astype(np.int32)
+        action, self._last_probs_dev, v, cv, self.state = self._step_impl(
             self.params,
             self.state,
             self._aug_params,
-            jnp.asarray(rgb_nav),
-            jnp.asarray(rgb_manip),
-            jnp.asarray(self.prev_action),
-            jnp.asarray(not_reset, jnp.int32),
-            jnp.asarray(oih, jnp.int32),
+            jnp.asarray(np.concatenate([rgb_nav, rgb_manip], axis=0)),
+            jnp.asarray(ints),
             sub,
         )
+        try:
+            action.copy_to_host_async()
+        except Exception:
+            pass
         out = np.asarray(action)
-        # expose the last action distribution for video annotation
-        self.last_probs = np.asarray(jax.nn.softmax(logits, axis=-1))
         self.prev_action = out.copy()
         return out
+
+    @property
+    def last_probs(self) -> Optional[np.ndarray]:
+        """Action distribution of the last act (fetched on demand — a
+        blocking device->host fetch; used for video annotation only)."""
+        if getattr(self, "_last_probs_dev", None) is None:
+            return None
+        return np.asarray(self._last_probs_dev)
 
     def reset_streams(self, reset_mask: np.ndarray):
         """Zero prev-action for reset streams (cache masking is handled by the

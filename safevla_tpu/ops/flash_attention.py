@@ -376,13 +376,10 @@ def _pallas_default() -> bool:
 
 
 def _on_tpu() -> bool:
-    """True when ops dispatch to a TPU-like backend. Honors an enclosing
-    `jax.default_device(...)` scope (e.g. host-side param init runs on the
-    CPU backend even though the process default is the tpu plugin — pallas
-    kernels cannot lower there)."""
-    dd = jax.config.jax_default_device
-    platform = dd.platform if dd is not None else jax.default_backend()
-    return platform not in ("cpu", "gpu")
+    """True when ops dispatch to a TPU-like backend (shared util)."""
+    from safevla_tpu.utils.platform import on_tpu
+
+    return on_tpu()
 
 
 def attention(

@@ -18,6 +18,51 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# Modules that import torch and execute the reference source / full frozen
+# encoders — the slow tail of the suite (~20 of the ~25 total minutes on the
+# 1-core box). `pytest -m "not oracle"` (or `make test-fast`) skips them;
+# they still run in the full suite.
+_ORACLE_MODULES = (
+    "test_reference_source_oracle",
+    "test_reference_tower_oracle",
+    "test_tower_oracle",
+    "test_siglip",
+    "test_resnet",
+    "test_parity_goldens",
+)
+
+
+# Heavy end-to-end integration tests (measured >20 s each on the 1-core box,
+# ~8 of the remaining ~15 suite minutes). `make test-fast` skips them too; the
+# full suite and CI keep them.
+_SLOW_TESTS = {
+    "test_online_trainer_end_to_end_on_mesh",
+    "test_rollout_collect_and_update",
+    "test_learner_update_on_2d_mesh",
+    "test_pipelined_groups_collect",
+    "test_offline_trainer_sharded",
+    "test_act_dispatch_leaf_budget",
+    "test_online_trainer_short_run",
+    "test_rollout_deterministic_given_seed",
+    "test_online_trainer_async_pipeline",
+    "test_merged_action_fetch_equivalence",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _ORACLE_MODULES:
+            item.add_marker(pytest.mark.oracle)
+        if item.originalname in _SLOW_TESTS or item.name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
+# SAFEVLA_SKIP_ORACLES=1 (make test-fast) removes the oracle modules before
+# collection — merely IMPORTING them pays the torch + reference-source import
+# cost (minutes on this box), which `-m "not oracle"` alone does not avoid.
+if os.environ.get("SAFEVLA_SKIP_ORACLES") == "1":
+    collect_ignore = [f"{m}.py" for m in _ORACLE_MODULES]
+
 
 @pytest.fixture(scope="session")
 def tiny_model_cfg():
