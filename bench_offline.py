@@ -30,6 +30,74 @@ from safevla_tpu.preprocessing.augment import sample_augment_params
 from safevla_tpu.training.offline import OfflineTrainer
 
 
+def _ensure_bench_chores(root: str, episodes: int, ep_len: int, h: int, w: int) -> str:
+    """Build (once, cached) a CHORES-format dataset at production frame size
+    for the --real-data path: hdf5 sensor files + per-episode camera .npy
+    files read from disk through the full ChoresDataset pipeline. The manip
+    camera is a hardlink to the nav camera file (halves the on-disk size;
+    the reader decodes each independently, so the measured host work is
+    unchanged)."""
+    import h5py
+
+    from safevla_tpu.constants import ALL_STRETCH_ACTIONS
+    from safevla_tpu.utils.string_codec import convert_string_to_byte
+
+    done = os.path.join(root, ".complete")
+    if os.path.exists(done):
+        return root
+    rng = np.random.default_rng(0)
+    houses = {}
+    n_houses = max(1, episodes // 4)
+    per_house = episodes // n_houses
+    spec = json.dumps(
+        {
+            "task_type": "ObjectNavType",
+            "synsets": ["mug.n.01"],
+            "synset_to_object_ids": {"mug.n.01": ["Mug|1"]},
+            "broad_synset_to_object_ids": {"mug.n.01": ["Mug|1"]},
+            "extras": {},
+        }
+    )
+    for hi in range(n_houses):
+        house = f"{hi + 1:06d}"
+        house_dir = os.path.join(root, "train", house)
+        os.makedirs(house_dir, exist_ok=True)
+        sub_ids = []
+        with h5py.File(os.path.join(house_dir, "hdf5_sensors.hdf5"), "w") as f:
+            for ep in range(per_house):
+                sub_id = str(ep)
+                sub_ids.append(sub_id)
+                grp = f.create_group(sub_id)
+                actions = [""] + [
+                    ALL_STRETCH_ACTIONS[int(rng.integers(len(ALL_STRETCH_ACTIONS)))]
+                    for _ in range(ep_len - 1)
+                ]
+                grp.create_dataset(
+                    "last_action_str",
+                    data=np.stack([convert_string_to_byte(a, 20) for a in actions]),
+                )
+                grp.create_dataset(
+                    "templated_task_spec",
+                    data=convert_string_to_byte(spec, 2 * len(spec)).reshape(1, -1),
+                )
+                grp.create_dataset("last_agent_location", data=np.zeros((1, 6)))
+                grp.create_dataset(
+                    "an_object_is_in_hand", data=np.zeros((ep_len, 1), np.int64)
+                )
+                frames = rng.integers(0, 255, (ep_len, h, w, 3), dtype=np.uint8)
+                nav = os.path.join(house_dir, f"raw_navigation_camera__{sub_id}.npy")
+                manip = os.path.join(house_dir, f"raw_manipulation_camera__{sub_id}.npy")
+                np.save(nav, frames)
+                if not os.path.exists(manip):
+                    os.link(nav, manip)
+        houses[house] = sub_ids
+    with open(os.path.join(root, "house_id_to_sub_house_id_train.json"), "w") as f:
+        json.dump(houses, f)
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
+
+
 def main():
     from bench import _probe_device
 
@@ -96,16 +164,62 @@ def main():
             f"{tflop/dt:.0f} TFLOP/s ({tflop/dt/197*100:.0f}% of v5e bf16 peak)",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "bc_frames_per_sec_per_chip",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 1000.0, 3),
-            }
+    line = {
+        "metric": "bc_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 1000.0, 3),
+    }
+
+    # --real-data (or BENCH_BC_REAL=1): feed the SAME jitted step from a
+    # CHORES-format dataset on disk via the prefetching batch pipeline
+    # (training/offline.py prepared_batches) and report the step-time
+    # inflation vs the resident-batch number above — VERDICT r3 item 8.
+    if "--real-data" in sys.argv or os.environ.get("BENCH_BC_REAL", "0") == "1":
+        from safevla_tpu.data.chores import ChoresDataset, collate_window_batch
+
+        root = os.environ.get(
+            "BENCH_BC_DATA_DIR",
+            os.path.expanduser("~/.cache/safevla_bench_chores"),
         )
-    )
+        os.makedirs(root, exist_ok=True)
+        print("# building/validating the on-disk chores store...", file=sys.stderr)
+        _ensure_bench_chores(root, episodes=B, ep_len=T + 4, h=h, w=w)
+        ds = ChoresDataset(root, "train", sliding_window=T)
+        assert len(ds) >= B, (len(ds), B)
+
+        def host_batches(rounds: int):
+            for _ in range(rounds):
+                yield collate_window_batch(
+                    [ds[i] for i in range(B)], window=T, pad_token=ds.pad_token
+                )
+
+        # warm (first real batch compiles nothing new: same shapes)
+        it = trainer.prepared_batches(host_batches(1))
+        state, metrics = trainer._jit_step(
+            state, trainer.attach_text(next(it), state.frozen_params), aug
+        )
+        float(metrics["bc_loss"])
+        t0 = time.time()
+        for pb in trainer.prepared_batches(host_batches(iters)):
+            b = trainer.attach_text(pb, state.frozen_params)
+            state, metrics = trainer._jit_step(state, b, aug)
+        float(metrics["bc_loss"])
+        dt_real = (time.time() - t0) / iters
+        inflation = (dt_real - dt) / dt * 100
+        print(
+            f"# real-data step {dt_real*1000:.0f} ms vs resident {dt*1000:.0f} ms "
+            f"-> {inflation:+.1f}% inflation (prefetch depth "
+            f"{cfg.offline.prefetch_batches})",
+            file=sys.stderr,
+        )
+        line["context"] = {
+            "real_data_fps": round(B * T / dt_real, 1),
+            "real_data_inflation_pct": round(inflation, 1),
+            "prefetch_batches": cfg.offline.prefetch_batches,
+        }
+
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

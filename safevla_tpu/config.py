@@ -170,6 +170,11 @@ class OfflineConfig:
     dataset_version: str = "CHORES"
     data_dir: str = "data"
     loader_workers: int = 4
+    # host-side batch prep (hdf5/mp4 decode + tokenize + upload) runs in a
+    # background thread this many batches ahead of the device step, so IO
+    # overlaps compute (double buffering, as the rollout runner does). 0
+    # disables the thread (synchronous prep).
+    prefetch_batches: int = 2
     prob_sample_last_steps: float = 0.0
     # on resume, load model weights but re-initialize the optimizer state
     # (reference AdamWSkipLoadStateDict + --restart_optimizer, train_pl.py:74-80)

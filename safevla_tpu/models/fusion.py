@@ -10,9 +10,30 @@ concat + attention + MLP into a single program.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _flat_ln_mlp() -> bool:
+    """Run each layer's LN+MLP block over (B*T, D) flattened rows.
+
+    MEASURED DEAD END (round 4, kept for the record — default OFF). The
+    update's device trace (tools/prof_update_trace.py) showed XLA assigning
+    a {3,1,2,0} layout to the (towers, chunk, tokens, D) activations in the
+    fwd/bwd graph while the pallas attention custom-calls require row-major
+    {3,2,1,0}, hiding (chunk, tokens) transposes inside the LN reduce
+    fusions. Hypothesis: flattening (chunk, tokens) into one row axis for
+    LN+MLP removes the permutable dim pair. On-chip A/B at the production
+    chunk shape (tools/exp_fusion_flat.py, chunk=128 x 3 towers, remat):
+    fwd 11.81 -> 13.76 ms, fwd+bwd 34.74 -> 37.18 ms — SLOWER both ways.
+    The reshape at the layout boundary materializes the very copy it was
+    meant to remove, and XLA keeps the {3,1,2,0} choice for the flat rows'
+    producers anyway. Numerics identical (LN and the MLP are per-row).
+    """
+    return os.environ.get("SAFEVLA_FUSION_FLAT", "0") == "1"
 
 
 class TorchMultiheadAttention(nn.Module):
@@ -95,13 +116,18 @@ class FusionLayer(nn.Module):
         if q_rows is not None:
             # residual + LN + MLP only for the rows whose outputs are consumed
             x = x[:, :q_rows]
+        shape3 = x.shape
+        if _flat_ln_mlp():
+            # 2-d rows for LN+MLP (see _flat_ln_mlp); reshape back at the end
+            x = x.reshape(-1, shape3[-1])
+            attn = attn.reshape(-1, shape3[-1])
         x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
         x = x.astype(self.dtype)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
         y = nn.relu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + y)
-        return x.astype(self.dtype), None
+        return x.reshape(shape3).astype(self.dtype), None
 
 
 class FusionTransformer(nn.Module):

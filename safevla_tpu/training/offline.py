@@ -242,11 +242,10 @@ class OfflineTrainer:
         return {"val_loss": loss, "val_accuracy": acc, "preds": preds, "valid": valid}
 
     # ------------------------------------------------------------------
-    def prepare_batch(self, host_batch: Dict[str, Any], params=None) -> Dict[str, jnp.ndarray]:
-        """Tokenize+encode instructions (frozen T5) and device-put the batch."""
+    def host_prepare(self, host_batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """Host side of batch prep: tokenize + device-put (thread-safe — no
+        dependence on the train state, whose buffers `_jit_step` donates)."""
         tokens, mask = self.tokenizer.encode_batch(host_batch["instructions"])
-        frozen = params if params is not None else self._frozen_cache
-        text_hidden = self._jit_encode_text(frozen, jnp.asarray(tokens), jnp.asarray(mask))
         return {
             "rgb_nav": jnp.asarray(host_batch["rgb_nav"]),
             "rgb_manip": jnp.asarray(host_batch["rgb_manip"]),
@@ -254,9 +253,62 @@ class OfflineTrainer:
             "actions": jnp.asarray(host_batch["actions"]),
             "time_ids": jnp.asarray(host_batch["time_ids"]),
             "an_object_is_in_hand": jnp.asarray(host_batch["an_object_is_in_hand"]),
-            "text_hidden": text_hidden,
+            "_text_tokens": jnp.asarray(tokens),
             "text_mask": jnp.asarray(mask),
         }
+
+    def attach_text(self, batch: Dict[str, jnp.ndarray], params) -> Dict[str, jnp.ndarray]:
+        """Encode the tokenized instructions with the CURRENT frozen params
+        (must use fresh handles: the donated train step invalidates the old
+        ones each iteration)."""
+        out = dict(batch)
+        tokens = out.pop("_text_tokens")
+        out["text_hidden"] = self._jit_encode_text(params, tokens, out["text_mask"])
+        return out
+
+    def prepare_batch(self, host_batch: Dict[str, Any], params=None) -> Dict[str, jnp.ndarray]:
+        """Tokenize+encode instructions (frozen T5) and device-put the batch."""
+        frozen = params if params is not None else self._frozen_cache
+        return self.attach_text(self.host_prepare(host_batch), frozen)
+
+    def prepared_batches(self, host_batches: Iterable[Dict[str, Any]]):
+        """Iterate host-prepared batches with IO overlapped (VERDICT r3 item
+        8): a daemon thread decodes/tokenizes/uploads up to
+        `cfg.offline.prefetch_batches` ahead while the device trains on the
+        current batch — jax dispatch is async, so `_jit_step` returns
+        immediately and the thread owns the host between steps. Yields
+        `host_prepare` output; the consumer finishes with `attach_text`
+        (which must see the CURRENT donated-through frozen params). Falls
+        back to synchronous prep when prefetch_batches == 0."""
+        depth = int(self.cfg.offline.prefetch_batches)
+        if depth <= 0:
+            for hb in host_batches:
+                yield self.host_prepare(hb)
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+        errs: list = []
+
+        def worker():
+            try:
+                for hb in host_batches:
+                    q.put(self.host_prepare(hb))
+            except BaseException as e:  # surface decode errors on the consumer
+                errs.append(e)
+            finally:
+                q.put(sentinel)
+
+        threading.Thread(target=worker, daemon=True, name="bc-batch-prep").start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errs:
+                    raise errs[0]
+                return
+            yield item
 
     def per_action_f1(self, preds: np.ndarray, targets: np.ndarray) -> Dict[str, float]:
         """Macro/per-action F1 (reference train_pl.py F1 metrics)."""
@@ -311,8 +363,8 @@ class OfflineTrainer:
                 if cfg.train.use_data_augmentation
                 else identity_augment_params()
             )
-            for host_batch in train_batches():
-                batch = self.prepare_batch(host_batch, state.frozen_params)
+            for pb in self.prepared_batches(train_batches()):
+                batch = self.attach_text(pb, state.frozen_params)
                 state, metrics = self._jit_step(state, batch, aug)
                 n += 1
             log = {k: float(v) for k, v in metrics.items()}
