@@ -194,29 +194,40 @@ def main():
                     [ds[i] for i in range(B)], window=T, pad_token=ds.pad_token
                 )
 
-        # warm (first real batch compiles nothing new: same shapes)
-        it = trainer.prepared_batches(host_batches(1))
-        state, metrics = trainer._jit_step(
-            state, trainer.attach_text(next(it), state.frozen_params), aug
-        )
-        float(metrics["bc_loss"])
+        # host-side cost alone (decode + collate, no device)
+        rounds_host = max(2, iters // 4)
         t0 = time.time()
-        for pb in trainer.prepared_batches(host_batches(iters)):
-            b = trainer.attach_text(pb, state.frozen_params)
-            state, metrics = trainer._jit_step(state, b, aug)
-        float(metrics["bc_loss"])
-        dt_real = (time.time() - t0) / iters
+        for _ in host_batches(rounds_host):
+            pass
+        dt_host = (time.time() - t0) / rounds_host
+        print(f"# host decode+collate alone: {dt_host*1000:.0f} ms/batch", file=sys.stderr)
+
+        def run_real(n):
+            nonlocal state  # _jit_step donates its input state: thread it
+            t0 = time.time()
+            for pb in trainer.prepared_batches(host_batches(n)):
+                b = trainer.attach_text(pb, state.frozen_params)
+                state, m = trainer._jit_step(state, b, aug)
+            float(m["bc_loss"])
+            return (time.time() - t0) / n
+
+        dt_real = run_real(iters)
+        cfg.offline.prefetch_batches = 0
+        dt_sync = run_real(max(2, iters // 2))
+        cfg.offline.prefetch_batches = 2
         inflation = (dt_real - dt) / dt * 100
         print(
-            f"# real-data step {dt_real*1000:.0f} ms vs resident {dt*1000:.0f} ms "
-            f"-> {inflation:+.1f}% inflation (prefetch depth "
-            f"{cfg.offline.prefetch_batches})",
+            f"# real-data step {dt_real*1000:.0f} ms (prefetch 2) vs "
+            f"{dt_sync*1000:.0f} ms (sync prep) vs resident {dt*1000:.0f} ms "
+            f"-> {inflation:+.1f}% inflation",
             file=sys.stderr,
         )
         line["context"] = {
             "real_data_fps": round(B * T / dt_real, 1),
             "real_data_inflation_pct": round(inflation, 1),
-            "prefetch_batches": cfg.offline.prefetch_batches,
+            "real_data_sync_prep_ms": round(dt_sync * 1000, 1),
+            "host_prep_ms": round(dt_host * 1000, 1),
+            "prefetch_batches": 2,
         }
 
     print(json.dumps(line))
