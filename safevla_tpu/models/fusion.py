@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from safevla_tpu.models.norms import CompatLayerNorm
+
 
 def _flat_ln_mlp() -> bool:
     """Run each layer's LN+MLP block over (B*T, D) flattened rows.
@@ -121,13 +123,12 @@ class FusionLayer(nn.Module):
             # 2-d rows for LN+MLP (see _flat_ln_mlp); reshape back at the end
             x = x.reshape(-1, shape3[-1])
             attn = attn.reshape(-1, shape3[-1])
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
-        x = x.astype(self.dtype)
+        x = CompatLayerNorm(out_dtype=self.dtype, name="norm1")(x + attn)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
         y = nn.relu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + y)
-        return x.reshape(shape3).astype(self.dtype), None
+        x = CompatLayerNorm(out_dtype=self.dtype, name="norm2")(x + y)
+        return x.reshape(shape3), None
 
 
 class FusionTransformer(nn.Module):

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from safevla_tpu.models.norms import CompatLayerNorm
+
 
 @dataclass(frozen=True)
 class DinoViTConfig:
@@ -89,12 +91,12 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, key_lens=None):
         d = self.cfg.embed_dim
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.cfg.dtype)
+        y = CompatLayerNorm(out_dtype=self.cfg.dtype, name="norm1")(x)
         y = ViTAttention(self.cfg, name="attn")(y, key_lens=key_lens)
         if self.cfg.layerscale:
             y = y * self.param("ls1_gamma", nn.initializers.constant(1e-5), (d,)).astype(self.cfg.dtype)
         x = x + y
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.cfg.dtype)
+        y = CompatLayerNorm(out_dtype=self.cfg.dtype, name="norm2")(x)
         hidden = int(d * self.cfg.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.cfg.dtype, name="mlp_fc1")(y)
         # gelu precision follows the compute dtype: in bf16 the tanh
@@ -192,7 +194,7 @@ class DinoViT(nn.Module):
         )(cfg, name="blocks")
         x, _ = blocks(x, key_lens)
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        x = CompatLayerNorm(name="norm")(x)  # out f32 (flax dtype=f32)
         patches = x[:, n_prefix:n_tok, :].astype(jnp.float32)  # (B, gh*gw, D)
 
         # adaptive average pool (gh, gw) -> pool_grid, as two static matmuls
