@@ -108,14 +108,21 @@ def main():
 
     factory = make_sampler_factory(max_steps=100, image_hw=(224, 384))
 
-    use_async = os.environ.get("BENCH_ASYNC", "0") == "1"
+    # async pipeline (window k-1's update woven between window k's acts,
+    # chunk=64 programs) is the measured headline mode on v5e: 358.0 fps vs
+    # 326.7 best sync (PERFORMANCE.md round-4 sweep). BENCH_ASYNC=0 measures
+    # the sync path (exact same-window PPO semantics, the trainer default).
+    use_async = os.environ.get("BENCH_ASYNC", "1") == "1"
 
     policy = SafeVLAPolicy(cfg.model)
     learner = Learner(policy, cfg)
     ts = learner.init(jax.random.PRNGKey(0))
 
-    # og=8 fully hides the tunnel action-fetch RTT (PERFORMANCE.md sweep)
-    overlap = int(os.environ.get("BENCH_OVERLAP_GROUPS", "8"))
+    # og re-swept round 4 (PERFORMANCE.md): env host cost dropped ~5x since
+    # the og=8 choice, so fewer/bigger act programs now win — sync og2
+    # 326.7 vs og8 301.8 fps; async64 og2 404.6 (og1 ties at 408.6, og8
+    # 358.0). og=2 keeps simulator/device overlap for real env hosts.
+    overlap = int(os.environ.get("BENCH_OVERLAP_GROUPS", "2"))
     pool = EnvPool(factory, num_streams=B, num_workers=num_workers)
     runner = RolloutRunner(policy, cfg, pool, seed=0, overlap_groups=overlap)
 

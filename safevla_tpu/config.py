@@ -72,7 +72,10 @@ class ModelConfig:
     # action fetches stall less behind in-flight update work — at the cost
     # of more host dispatches. Tunable separately because the sync update's
     # remat chunk is swept for compiler-spill behavior, not stall latency.
-    async_fusion_chunk: Optional[int] = None
+    # Swept on v5e (PERFORMANCE.md round 4): 128 -> 337.7 fps (with stall
+    # outliers), 64 -> 358.0 fps (clean), 32 -> 274.1 fps (dispatch-bound);
+    # 64 is the measured optimum.
+    async_fusion_chunk: Optional[int] = 64
 
     # number of stacked towers: 1 = shared actor/critic head,
     # 3 = separate actor / reward-critic / cost-critic full towers
