@@ -136,7 +136,12 @@ class Learner:
             )
         else:
             init_fn = jax.jit(self.policy.init_params)
-        params = init_fn(rng)
+        # init-site lowering: rolled layer scans — once-per-process program,
+        # identical param tree, several-fold faster compile (scan_policy.py).
+        from safevla_tpu.models.scan_policy import trace_site
+
+        with trace_site("init"):
+            params = init_fn(rng)
         tower_params = params["towers"]
         frozen = {"vit": params["vit"], "t5": params["t5"]}
         opt_state = self.tx.init(tower_params)

@@ -74,6 +74,14 @@ class InferenceAgent:
         )
 
     def _policy_step(self, params, state, aug, imgs, ints, rng):
+        # act-site lowering: rolled layer scans (scan_policy.py) — forward-
+        # only program, compile time dominates over the axon tunnel.
+        from safevla_tpu.models.scan_policy import trace_site
+
+        with trace_site("act"):
+            return self._policy_step_body(params, state, aug, imgs, ints, rng)
+
+    def _policy_step_body(self, params, state, aug, imgs, ints, rng):
         from safevla_tpu.constants import rgb_norm_constants
         from safevla_tpu.preprocessing.augment import apply_augment
 
@@ -179,7 +187,10 @@ class InferenceAgent:
         """Checkpoint auto-detection: Orbax dir | torch file (3 reference
         formats) | None (random init)."""
         policy = SafeVLAPolicy(cfg.model)
-        params = jax.jit(policy.init_params)(jax.random.PRNGKey(seed))
+        from safevla_tpu.models.scan_policy import trace_site
+
+        with trace_site("init"):
+            params = jax.jit(policy.init_params)(jax.random.PRNGKey(seed))
         if ckpt_path:
             from safevla_tpu.utils.checkpoint import resolve_checkpoint_path
 

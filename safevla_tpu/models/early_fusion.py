@@ -30,7 +30,10 @@ class EarlyFusionCnnTransformer:
     def __init__(self, cfg: Optional[ModelConfig] = None, seed: int = 0):
         self.cfg = dataclasses.replace(cfg or ModelConfig(), num_towers=1)
         self.policy = SafeVLAPolicy(self.cfg)
-        self.params = jax.jit(self.policy.init_params)(jax.random.PRNGKey(seed))
+        from safevla_tpu.models.scan_policy import trace_site
+
+        with trace_site("init"):
+            self.params = jax.jit(self.policy.init_params)(jax.random.PRNGKey(seed))
         self.tokenizer = InstructionTokenizer(
             self.cfg.text_backbone, self.cfg.text_max_tokens
         )

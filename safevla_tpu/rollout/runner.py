@@ -41,6 +41,7 @@ import numpy as np
 from safevla_tpu.config import Config
 from safevla_tpu.constants import rgb_norm_constants
 from safevla_tpu.models.actor_critic import PolicyState, SafeVLAPolicy
+from safevla_tpu.models.scan_policy import trace_site
 from safevla_tpu.preprocessing.augment import (
     apply_augment,
     identity_augment_params,
@@ -297,6 +298,12 @@ class RolloutRunner:
     def _rollout_step(self, params, state, storage, bank, packed, aug):
         """packed: flat int32 [G * _N_COLS + _N_META]: per-stream columns,
         then (t, global_step, row_offset)."""
+        # act-site lowering: rolled layer scans (compile time) — fps ties the
+        # unrolled form on this forward-only program (models/scan_policy.py).
+        with trace_site("act"):
+            return self._rollout_step_body(params, state, storage, bank, packed, aug)
+
+    def _rollout_step_body(self, params, state, storage, bank, packed, aug):
         G = (packed.shape[0] - _N_META) // _N_COLS
         cols = packed[: G * _N_COLS].reshape(G, _N_COLS)
         t = packed[G * _N_COLS]

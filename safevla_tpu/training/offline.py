@@ -98,7 +98,12 @@ class OfflineTrainer:
             )
         else:
             init_fn = jax.jit(self.policy.init_params)
-        params = init_fn(rng)
+        # init-site lowering: rolled layer scans — once-per-process program,
+        # identical param tree, several-fold faster compile (scan_policy.py).
+        from safevla_tpu.models.scan_policy import trace_site
+
+        with trace_site("init"):
+            params = init_fn(rng)
         state = BCTrainState(
             tower_params=params["towers"],
             frozen_params={"vit": params["vit"], "t5": params["t5"]},
