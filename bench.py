@@ -257,6 +257,18 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_A100_FRAMES_PER_SEC_ESTIMATE, 3),
+                # ADVICE r4: the async default changed what the headline
+                # measures vs BENCH_r03 (sync); tag the mode so round-over-
+                # round artifacts compare like with like, and flag that the
+                # denominator is an estimate (the reference publishes none)
+                "context": {
+                    "pipeline": "async_stale_by_one" if use_async else "sync",
+                    "overlap_groups": overlap,
+                    "streams": B,
+                    "window_steps": T,
+                    "baseline_estimated": True,
+                    "baseline_frames_per_sec": REFERENCE_A100_FRAMES_PER_SEC_ESTIMATE,
+                },
             }
         )
     )

@@ -85,6 +85,10 @@ def main():
                     "streams": B,
                     "ms_per_act": round(ms_per_step, 1),
                     "steps": steps,
+                    # ADVICE r4: the reference publishes no eval throughput —
+                    # the denominator is a stated estimate, not a measurement
+                    "baseline_estimated": True,
+                    "baseline_frames_per_sec": 80.0,
                 },
             }
         )

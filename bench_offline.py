@@ -42,9 +42,22 @@ def _ensure_bench_chores(root: str, episodes: int, ep_len: int, h: int, w: int) 
     from safevla_tpu.constants import ALL_STRETCH_ACTIONS
     from safevla_tpu.utils.string_codec import convert_string_to_byte
 
+    # the marker records the build parameters: a cached store built for a
+    # different (episodes, ep_len, h, w) must be rebuilt, not silently reused
+    # (ADVICE r4: a larger BENCH_BC_BATCH/WINDOW either crashed the len()
+    # assert confusingly or changed the measured host decode work)
+    params = f"episodes={episodes},ep_len={ep_len},h={h},w={w}"
     done = os.path.join(root, ".complete")
     if os.path.exists(done):
-        return root
+        with open(done) as f:
+            if f.read().strip() == params:
+                return root
+        import shutil
+
+        print(f"# bench chores store params changed; rebuilding {root}", file=sys.stderr)
+        for entry in os.listdir(root):
+            p = os.path.join(root, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     rng = np.random.default_rng(0)
     houses = {}
     n_houses = max(1, episodes // 4)
@@ -94,7 +107,7 @@ def _ensure_bench_chores(root: str, episodes: int, ep_len: int, h: int, w: int) 
     with open(os.path.join(root, "house_id_to_sub_house_id_train.json"), "w") as f:
         json.dump(houses, f)
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(params)
     return root
 
 

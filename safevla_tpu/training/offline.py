@@ -296,24 +296,48 @@ class OfflineTrainer:
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
         errs: list = []
+        stop = threading.Event()  # set when the consumer abandons the generator
+
+        def _put(item) -> bool:
+            # bounded put that re-checks the stop flag, so the thread exits
+            # (and its device-resident camera batches free) when the consumer
+            # stops early — an unconditional q.put would block forever with
+            # prefetch_batches+1 multi-GB buffers pinned for the process life
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for hb in host_batches:
-                    q.put(self.host_prepare(hb))
+                    if stop.is_set() or not _put(self.host_prepare(hb)):
+                        return
             except BaseException as e:  # surface decode errors on the consumer
                 errs.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         threading.Thread(target=worker, daemon=True, name="bc-batch-prep").start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if errs:
-                    raise errs[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if errs:
+                        raise errs[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            # drain whatever the worker already queued so its buffers free
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def per_action_f1(self, preds: np.ndarray, targets: np.ndarray) -> Dict[str, float]:
         """Macro/per-action F1 (reference train_pl.py F1 metrics)."""
