@@ -18,6 +18,11 @@ from safevla_tpu.tasks.object_nav import (
 from safevla_tpu.tasks.fetch import FetchTask, EasyFetchTask, PickupTask
 from safevla_tpu.tasks.room_visit import RoomVisitTask
 from safevla_tpu.tasks.multi_nav import ObjectNavMultiTask, RoomNavTask
+from safevla_tpu.tasks.probe import (
+    ConstrainedBanditTask,
+    InstructionBanditTask,
+    make_probe_sampler_factory,
+)
 from safevla_tpu.tasks.samplers import MultiTaskSampler, SPOCTaskSampler
 from safevla_tpu.tasks.task_specs import (
     TaskSpec,
@@ -46,6 +51,9 @@ __all__ = [
     "RoomVisitTask",
     "ObjectNavMultiTask",
     "RoomNavTask",
+    "ConstrainedBanditTask",
+    "InstructionBanditTask",
+    "make_probe_sampler_factory",
     "MultiTaskSampler",
     "SPOCTaskSampler",
     "TaskSpec",
