@@ -140,7 +140,7 @@ def main():
                 state["result"] = stop.value
                 return True
 
-        pump_k = max(1, -(-learner.chunked_program_count(B * T) // T))
+        pump_k = max(1, -(-learner.chunked_program_count(B, T) // T))
 
         def iteration(_unused):
             tsl = state["ts"]

@@ -351,8 +351,10 @@ class Learner:
     # split-program update: the async rollout/update pipeline dispatches one
     # PPO epoch at a time so act steps interleave with training on the chip
     # ------------------------------------------------------------------
-    def _make_split_update(self, stage_id: int):
-        stage = self.stage_specs[min(stage_id, len(self.stage_specs) - 1)]
+    def _prepare_body(self, stage: StageSpec):
+        """GAE -> advantages -> lambda ascent, shared by the split and
+        chunked decompositions (identical math to the monolithic update's
+        first phase)."""
         ppo = self.cfg.ppo
 
         def prepare(train_state: TrainState, batch, mean_episode_cost):
@@ -378,6 +380,13 @@ class Learner:
                     lagrange, mean_episode_cost, self.cfg.lagrange.multiplier_lr
                 )
             return mb, lagrange, multiplier_value(lagrange)
+
+        return prepare
+
+    def _make_split_update(self, stage_id: int):
+        stage = self.stage_specs[min(stage_id, len(self.stage_specs) - 1)]
+
+        prepare = self._prepare_body(stage)
 
         def epoch(tower_params, opt_state, frozen_params, mb, lam):
             (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
@@ -406,34 +415,31 @@ class Learner:
     # them into the rollout's device-idle gaps without stalling the
     # latency-sensitive act/fetch path the way whole-epoch programs did.
     # ------------------------------------------------------------------
-    def _make_chunked_fns(self, stage_id: int, chunk: int, bwd_chunk: int):
+    def _make_chunked_fns(self, stage_id: int, chunk_t: int, bwd_chunk_t: int):
         stage = self.stage_specs[min(stage_id, len(self.stage_specs) - 1)]
         policy = self.policy
 
-        def embed_chunk(tower_params, frozen_params, mb, start, obs_buf):
+        def embed_chunk(tower_params, frozen_params, mb, start_t, obs_buf):
             params = {"towers": tower_params, **frozen_params}
-            emb = policy.embed_flat_range(
+            emb = policy.embed_time_range(
                 params,
                 mb["dino_nav"],
                 mb.get("dino_manip"),
                 mb["text_hidden"],
                 mb["text_mask"],
                 mb.get("text_idx"),
-                start,
-                chunk,
+                start_t,
+                chunk_t,
             )
             return jax.lax.dynamic_update_slice_in_dim(
-                obs_buf, emb.astype(obs_buf.dtype), start, axis=1
+                obs_buf, emb.astype(obs_buf.dtype), start_t, axis=2
             )
 
         def decoder_grad(tower_params, mb, obs_buf, lam):
-            b, t = mb["prev_actions"].shape
-
             def loss_part(tp, buf):
-                obs = buf.reshape(buf.shape[0], b, t, buf.shape[-1])
                 out = policy.decode_from_embeds(
                     {"towers": tp},
-                    obs,
+                    buf,
                     mb["prev_actions"],
                     mb["not_reset"],
                     mb.get("object_in_hand"),
@@ -447,26 +453,26 @@ class Learner:
             )(tower_params, obs_buf)
             return d_obs, d_tp, metrics
 
-        def fusion_bwd_chunk(tower_params, frozen_params, mb, start, d_obs, grad_acc):
+        def fusion_bwd_chunk(tower_params, frozen_params, mb, start_t, d_obs, grad_acc):
             # the VJP holds the fwd residuals of its whole range in HBM
             # (~qkv + FFN hidden per layer), so the backward runs at a
             # smaller range than the residual-free forward sweep — this is
             # what lets the async pipeline coexist with the rollout's
             # working set in 16 GB
             def primal(tp):
-                return policy.embed_flat_range(
+                return policy.embed_time_range(
                     {"towers": tp, **frozen_params},
                     mb["dino_nav"],
                     mb.get("dino_manip"),
                     mb["text_hidden"],
                     mb["text_mask"],
                     mb.get("text_idx"),
-                    start,
-                    bwd_chunk,
+                    start_t,
+                    bwd_chunk_t,
                 )
 
             _, vjp = jax.vjp(primal, tower_params)
-            d_chunk = jax.lax.dynamic_slice_in_dim(d_obs, start, bwd_chunk, axis=1)
+            d_chunk = jax.lax.dynamic_slice_in_dim(d_obs, start_t, bwd_chunk_t, axis=2)
             (g,) = vjp(d_chunk.astype(jnp.float32))
             return jax.tree.map(jnp.add, grad_acc, g)
 
@@ -483,15 +489,66 @@ class Learner:
         def zeros_grads(tower_params):
             return jax.tree.map(jnp.zeros_like, tower_params)
 
-        prepare, _ = self.split_update_fns(stage_id)
+        prepare = self._sharded_prepare(stage_id)
+        if self.mesh is None:
+            return {
+                "prepare": prepare,
+                "embed_chunk": jax.jit(embed_chunk, donate_argnums=(4,)),
+                "decoder_grad": jax.jit(decoder_grad),
+                "fusion_bwd_chunk": jax.jit(fusion_bwd_chunk, donate_argnums=(5,)),
+                "apply": jax.jit(apply),
+                "zeros_grads": jax.jit(zeros_grads),
+            }
+        # mesh: the batch (and the embedding buffer's B axis) shard over dp
+        # exactly as in the monolithic update; grads come out replicated (the
+        # all-reduce is an XLA collective inserted by the out_sharding)
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P("dp"))
+        buf = NamedSharding(self.mesh, P(None, "dp"))  # (towers, B, T, D)
         return {
             "prepare": prepare,
-            "embed_chunk": jax.jit(embed_chunk, donate_argnums=(4,)),
-            "decoder_grad": jax.jit(decoder_grad),
-            "fusion_bwd_chunk": jax.jit(fusion_bwd_chunk, donate_argnums=(5,)),
-            "apply": jax.jit(apply),
-            "zeros_grads": jax.jit(zeros_grads),
+            "embed_chunk": jax.jit(
+                embed_chunk,
+                in_shardings=(repl, repl, data, repl, buf),
+                out_shardings=buf,
+                donate_argnums=(4,),
+            ),
+            "decoder_grad": jax.jit(
+                decoder_grad,
+                in_shardings=(repl, data, buf, repl),
+                out_shardings=(buf, repl, repl),
+            ),
+            "fusion_bwd_chunk": jax.jit(
+                fusion_bwd_chunk,
+                in_shardings=(repl, repl, data, repl, buf, repl),
+                out_shardings=repl,
+                donate_argnums=(5,),
+            ),
+            "apply": jax.jit(
+                apply,
+                in_shardings=(repl, repl, repl, repl),
+                out_shardings=(repl, repl, repl),
+            ),
+            "zeros_grads": jax.jit(zeros_grads, out_shardings=repl),
         }
+
+    def _sharded_prepare(self, stage_id: int):
+        """The GAE/advantage/lambda prepare program, sharded when on a mesh
+        (the split epoch fn stays single-chip-only; the chunked path is the
+        mesh-capable decomposition)."""
+        if self.mesh is None:
+            return self.split_update_fns(stage_id)[0]
+        key = ("prepare_mesh", min(int(stage_id), len(self.stage_specs) - 1))
+        if key not in self._update_fns:
+            prepare = self._prepare_body(self.stage_specs[key[1]])
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("dp"))
+            self._update_fns[key] = jax.jit(
+                prepare,
+                in_shardings=(repl, data, repl),
+                out_shardings=(data, repl, repl),
+            )
+        return self._update_fns[key]
 
     def chunked_update_fns(self, stage_id: int, chunk: int, bwd_chunk: int):
         key = (
@@ -504,26 +561,31 @@ class Learner:
             self._update_fns[key] = self._make_chunked_fns(key[1], chunk, bwd_chunk)
         return self._update_fns[key]
 
-    def chunk_sizes(self, n: int) -> Tuple[int, int]:
-        """(fwd_chunk, bwd_chunk) actually used for an n-sample window."""
+    def chunk_sizes(self, b: int, t: int) -> Tuple[int, int]:
+        """(fwd_chunk_t, bwd_chunk_t) time-steps per chunk program for a
+        (b, t) window. The config knobs stay in flat samples (the HBM unit
+        that matters); each chunk processes all b streams x chunk_t steps,
+        so the realized sample count is b * chunk_t rounded to >= the knob."""
         # None = follow fusion_chunk; 0 keeps the "one full-window chunk"
         # convention (same as fusion_chunk=0, actor_critic.py)
         cfg_chunk = self.cfg.model.async_fusion_chunk
         if cfg_chunk is None:
             cfg_chunk = self.cfg.model.fusion_chunk
-        chunk = min(cfg_chunk or n, n)
-        while n % chunk:
-            chunk -= 1
-        bwd_chunk = max(chunk // 2, 1)
-        while n % bwd_chunk:
-            bwd_chunk -= 1
-        return chunk, bwd_chunk
+        n = b * t
+        chunk_flat = min(cfg_chunk or n, n)
+        chunk_t = max(1, min(-(-chunk_flat // b), t))
+        while t % chunk_t:
+            chunk_t += 1  # next divisor of t upward keeps samples >= the knob
+        bwd_chunk_t = max(chunk_t // 2, 1)
+        while t % bwd_chunk_t:
+            bwd_chunk_t -= 1
+        return chunk_t, bwd_chunk_t
 
-    def chunked_program_count(self, n: int) -> int:
-        """Device programs iter_chunked_update dispatches for an n-sample
+    def chunked_program_count(self, b: int, t: int) -> int:
+        """Device programs iter_chunked_update dispatches for a (b, t)
         window — the async driver paces `ceil(count / T)` per env step."""
-        chunk, bwd_chunk = self.chunk_sizes(n)
-        return 1 + self.cfg.ppo.update_repeats * (n // chunk + n // bwd_chunk + 2)
+        chunk_t, bwd_chunk_t = self.chunk_sizes(b, t)
+        return 1 + self.cfg.ppo.update_repeats * (t // chunk_t + t // bwd_chunk_t + 2)
 
     def iter_chunked_update(
         self, train_state: TrainState, batch, mean_episode_cost, stage_id: int
@@ -532,13 +594,14 @@ class Learner:
         device program (all dispatches are async), and returns
         (new_train_state, metrics) via StopIteration.value. The async
         trainer drives one program per env step; draining the generator in
-        a tight loop reproduces the monolithic update's schedule."""
+        a tight loop reproduces the monolithic update's schedule. On a mesh
+        every chunk program is dp-sharded exactly like the monolithic
+        update (chunks slice T, never the batch axis)."""
         b, t = np.shape(batch["prev_actions"])
-        n = b * t
-        chunk, bwd_chunk = self.chunk_sizes(n)
-        n_chunks = n // chunk
-        n_bwd_chunks = n // bwd_chunk
-        fns = self.chunked_update_fns(stage_id, chunk, bwd_chunk)
+        chunk_t, bwd_chunk_t = self.chunk_sizes(b, t)
+        n_chunks = t // chunk_t
+        n_bwd_chunks = t // bwd_chunk_t
+        fns = self.chunked_update_fns(stage_id, chunk_t, bwd_chunk_t)
 
         mb, lagrange, lam = fns["prepare"](
             train_state, batch, jnp.asarray(mean_episode_cost, jnp.float32)
@@ -549,17 +612,18 @@ class Learner:
         towers = self.policy.num_towers
         d_model = self.cfg.model.hidden_size
         metrics = None
+        zeros_buf = self._zeros_buf_fn((towers, b, t, d_model))
         for _ in range(self.cfg.ppo.update_repeats):
-            obs_buf = jnp.zeros((towers, n, d_model), jnp.float32)
+            obs_buf = zeros_buf()
             for c in range(n_chunks):
-                obs_buf = fns["embed_chunk"](tp, frozen, mb, c * chunk, obs_buf)
+                obs_buf = fns["embed_chunk"](tp, frozen, mb, c * chunk_t, obs_buf)
                 yield
             d_obs, g_dec, metrics = fns["decoder_grad"](tp, mb, obs_buf, lam)
             yield
             g_acc = fns["zeros_grads"](tp)
             for c in range(n_bwd_chunks):
                 g_acc = fns["fusion_bwd_chunk"](
-                    tp, frozen, mb, c * bwd_chunk, d_obs, g_acc
+                    tp, frozen, mb, c * bwd_chunk_t, d_obs, g_acc
                 )
                 yield
             tp, opt_state, extra = fns["apply"](tp, opt_state, g_acc, g_dec)
@@ -575,6 +639,20 @@ class Learner:
             step=train_state.step + b * t,
         )
         return new_state, metrics
+
+    def _zeros_buf_fn(self, buf_shape):
+        """Cached (per shape) allocator for the (towers, B, T, D) embedding
+        buffer — a fresh jit wrapper per window would retrace every window."""
+        key = ("zeros_buf", buf_shape)
+        if key not in self._update_fns:
+            if self.mesh is None:
+                self._update_fns[key] = lambda: jnp.zeros(buf_shape, jnp.float32)
+            else:
+                self._update_fns[key] = jax.jit(
+                    lambda: jnp.zeros(buf_shape, jnp.float32),
+                    out_shardings=NamedSharding(self.mesh, P(None, "dp")),
+                )
+        return self._update_fns[key]
 
     def chunked_update(self, train_state, batch, mean_episode_cost, stage_id: int):
         """Drain `iter_chunked_update` eagerly — the synchronous entry point

@@ -157,6 +157,14 @@ class TrainConfig:
     # torchvision transform list version (reference transformation_util.py:12)
     augmentation_version: str = "v2"
     collision_penalty: float = 0.0
+    # Default training mode: the async rollout/update pipeline (the PPO
+    # epoch decomposed into chunk programs woven between act dispatches,
+    # learner.iter_chunked_update). Stale-by-one-window PPO; validated
+    # equivalent to the synchronous update on the constrained-probe
+    # learning curves (TRAINCURVE.json async_vs_sync) and ~24% faster on
+    # v5e (PERFORMANCE.md round-4 sweep). Set False for strictly
+    # on-policy synchronous updates.
+    async_pipeline: bool = True
 
 
 @dataclass

@@ -561,29 +561,35 @@ class SafeVLAPolicy:
     # The async training pipeline dispatches the PPO epoch as many small
     # device programs woven between rollout act steps (algo/learner.py
     # chunked_update_fns). These methods expose the same math as
-    # forward_seq at chunk granularity: fusion embedding over a flat-index
-    # range, and the decoder+heads over a precomputed embedding buffer.
+    # forward_seq at chunk granularity: fusion embedding over a TIME range
+    # (all B streams x chunk_t steps — so the batch axis stays dp-sharded on
+    # a mesh and every chunk program runs on every device), and the
+    # decoder+heads over a precomputed embedding buffer.
 
-    def _chunk_text(self, text_hidden, text_mask, text_idx, b, t, start, chunk):
-        """Per-step instruction encodings for flat samples [start, start+chunk).
+    def _chunk_text(self, text_hidden, text_mask, text_idx, b, t, start_t, chunk_t):
+        """Per-step instruction encodings for the (B, chunk_t) time range,
+        flattened b-major to (B*chunk_t, L, D).
 
         Resolves the same three layouts as forward_seq, but gathers only the
         requested range (the table gather would otherwise materialize the
         full (B*T, L, D) text tensor per call)."""
+        n = b * chunk_t
         if text_idx is not None:
-            ti = jax.lax.dynamic_slice_in_dim(text_idx.reshape(-1), start, chunk, 0)
-            rows = (start + jnp.arange(chunk)) // t
-            return text_hidden[rows, ti], text_mask[rows, ti]
+            ti = jax.lax.dynamic_slice_in_dim(text_idx, start_t, chunk_t, 1)
+            rows = jnp.arange(b)[:, None]
+            th = text_hidden[rows, ti].reshape((n,) + text_hidden.shape[2:])
+            return th, text_mask[rows, ti].reshape(n, -1)
         if text_hidden.ndim == 4:
-            n = b * t
-            sl = lambda x: jax.lax.dynamic_slice_in_dim(
-                x.reshape((n,) + x.shape[2:]), start, chunk, 0
-            )
-            return sl(text_hidden), sl(text_mask)
-        rows = (start + jnp.arange(chunk)) // t
-        return text_hidden[rows], text_mask[rows]
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start_t, chunk_t, 1)
+            flat = lambda x: x.reshape((n,) + x.shape[2:])
+            return flat(sl(text_hidden)), sl(text_mask).reshape(n, -1)
+        # per-stream (B, L, D): each stream's encoding serves its chunk_t rows
+        return (
+            jnp.repeat(text_hidden, chunk_t, axis=0),
+            jnp.repeat(text_mask, chunk_t, axis=0),
+        )
 
-    def embed_flat_range(
+    def embed_time_range(
         self,
         params,
         dino_nav,
@@ -591,29 +597,34 @@ class SafeVLAPolicy:
         text_hidden,
         text_mask,
         text_idx,
-        start,
-        chunk: int,
+        start_t,
+        chunk_t: int,
     ):
-        """Fusion embeddings for flat samples [start, start+chunk) of the
-        (B, T) window -> (towers, chunk, D) f32. `start` may be traced; one
-        compiled program serves every chunk."""
+        """Fusion embeddings for time steps [start_t, start_t+chunk_t) of
+        every stream -> (towers, B, chunk_t, D) f32. `start_t` may be traced;
+        one compiled program serves every chunk. Chunking along T (not the
+        flat B*T index) keeps the batch axis whole per program, so on a dp
+        mesh each chunk shards exactly like the monolithic update."""
         b, t = dino_nav.shape[:2]
-        n = b * t
+        n = b * chunk_t
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start_t, chunk_t, 1)
         flat = lambda x: x.reshape((n,) + x.shape[2:])
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk, 0)
-        dn = sl(flat(dino_nav))
-        dm = sl(flat(dino_manip)) if dino_manip is not None else None
-        th, tm = self._chunk_text(text_hidden, text_mask, text_idx, b, t, start, chunk)
+        dn = flat(sl(dino_nav))
+        dm = flat(sl(dino_manip)) if dino_manip is not None else None
+        th, tm = self._chunk_text(
+            text_hidden, text_mask, text_idx, b, t, start_t, chunk_t
+        )
 
         def one_tower(tp):
-            return self.tower.apply(tp, dn, dm, th, tm, method=PolicyTower.embed_obs)
+            emb = self.tower.apply(tp, dn, dm, th, tm, method=PolicyTower.embed_obs)
+            return emb.reshape(b, chunk_t, emb.shape[-1])
 
         return jax.vmap(one_tower)(params["towers"])
 
     def decode_from_embeds(
         self,
         params,
-        obs_embeds,  # (towers, B, T, D) f32 — output of embed_flat_range calls
+        obs_embeds,  # (towers, B, T, D) f32 — output of embed_time_range calls
         prev_actions,
         not_reset,
         object_in_hand,

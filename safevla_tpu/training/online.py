@@ -58,10 +58,14 @@ class OnlineTrainer:
         mesh=None,
         num_workers: Optional[int] = None,
         log_fn: Optional[Callable[[Dict[str, Any], int], None]] = None,
-        async_pipeline: bool = False,
+        async_pipeline: Optional[bool] = None,
     ):
         self.cfg = cfg
-        self.async_pipeline = async_pipeline
+        # None = follow the config (async by default — validated equivalent
+        # to sync on the probe learning curves, TRAINCURVE.json)
+        self.async_pipeline = (
+            cfg.train.async_pipeline if async_pipeline is None else async_pipeline
+        )
         self.policy = SafeVLAPolicy(cfg.model)
         self.learner = Learner(self.policy, cfg, mesh=mesh)
         self.pool = EnvPool(
@@ -117,17 +121,10 @@ class OnlineTrainer:
         max_wall_seconds: Optional[float] = None,
     ) -> TrainState:
         if self.async_pipeline:
-            if self.learner.mesh is not None:
-                # the chunk programs slice the flat (B*T) axis, which would
-                # fight the dp-sharded batch layout; multi-chip training
-                # keeps the sharded monolithic update (the async win targets
-                # single-chip hosts where rollout and update share one chip)
-                print(
-                    "async_pipeline requested with a device mesh — using the "
-                    "sharded synchronous update instead"
-                )
-            else:
-                return self.train_async(total_steps, train_state, max_wall_seconds)
+            # the chunk programs slice T (never the batch axis), so on a mesh
+            # each is dp-sharded exactly like the monolithic update — async
+            # runs single-chip and multi-chip alike
+            return self.train_async(total_steps, train_state, max_wall_seconds)
         cfg = self.cfg
         ts = train_state if train_state is not None else self.init_state()
         total = total_steps if total_steps is not None else cfg.train.total_steps
@@ -230,7 +227,7 @@ class OnlineTrainer:
 
         B = self.pool.num_streams
         # programs per env step so the whole update dispatches in-window
-        pump_k = max(1, -(-self.learner.chunked_program_count(B * T) // T))
+        pump_k = max(1, -(-self.learner.chunked_program_count(B, T) // T))
         # steps tracked host-side: reading the device step scalar (or the
         # metrics) at the window boundary would block the host behind the
         # update's device tail — everything here floats one window late
@@ -269,6 +266,12 @@ class OnlineTrainer:
             batch, roll_stats = self.runner.collect(
                 act_params, T, interleave_fn=interleave
             )
+            if self.learner.mesh is not None:
+                # normalize act-path leaf layouts to the update's (B@dp, ...)
+                # sharding, as the sync path does
+                from safevla_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(self.learner.mesh, batch)
 
             if prev is not None:
                 while not done["v"]:  # finish any undispatched programs

@@ -50,6 +50,43 @@ def test_learner_update_sharded_over_dp(tiny_model_cfg):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_chunked_update_sharded_over_dp(tiny_model_cfg):
+    """The async pipeline's chunk-decomposed update on a dp mesh matches the
+    sharded monolithic update (VERDICT r4 item 2b: chunks slice T, never the
+    batch axis, so every chunk program shards like the monolithic one)."""
+    import dataclasses
+
+    from safevla_tpu.algo.learner import Learner
+    from safevla_tpu.models.actor_critic import SafeVLAPolicy
+    from tests.test_learner import _batch
+
+    mesh = make_mesh(dp=8, mdl=1)
+    cfg = Config()
+    # 2 fwd chunks / 4 bwd chunks over the (B=16, T=8) window
+    cfg.model = dataclasses.replace(tiny_model_cfg, fusion_chunk=64)
+    cfg.ppo.update_repeats = 2
+    policy = SafeVLAPolicy(cfg.model)
+    learner = Learner(policy, cfg, mesh=mesh)
+    ts = learner.init(jax.random.PRNGKey(0))
+
+    batch = shard_batch(mesh, _batch(cfg.model, B=16, T=8))
+    ts_mono, m_mono = learner.update(ts, batch, 1.5, 1)
+    ts_chunk, m_chunk = learner.chunked_update(ts, batch, 1.5, 1)
+
+    # chunk programs really ran dp-sharded
+    leaf = jax.tree.leaves(ts_chunk.tower_params)[0]
+    assert len(leaf.sharding.device_set) in (1, 8)
+    for a, b in zip(
+        jax.tree.leaves(ts_mono.tower_params), jax.tree.leaves(ts_chunk.tower_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
+    for k in ("total", "action", "value", "c_value", "grad_norm"):
+        np.testing.assert_allclose(
+            float(m_mono[k]), float(m_chunk[k]), atol=1e-4, rtol=2e-3
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_mesh_helpers():
     mesh = make_mesh(dp=4, mdl=2)
     assert mesh.shape == {"dp": 4, "mdl": 2}

@@ -84,8 +84,10 @@ def main():
         cfg.model.fusion_chunk = fwd_c
         policy = SafeVLAPolicy(cfg.model)
         learner = Learner(policy, cfg)
-        # override the derived bwd chunk
-        learner.chunk_sizes = lambda n, f=fwd_c, b=bwd_c: (f, b)
+        # override the derived chunking (flat-sample knobs -> time steps)
+        learner.chunk_sizes = lambda bb, tt, f=fwd_c, b=bwd_c: (
+            max(1, f // bb), max(1, b // bb),
+        )
         ts = learner.init(jax.random.PRNGKey(0))
         batch = make_batch(cfg, rng)
         try:
