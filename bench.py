@@ -155,6 +155,7 @@ def main():
 
             params = {"towers": tsl.tower_params, **tsl.frozen_params}
             batch, stats = runner.collect(params, T, interleave_fn=interleave)
+            t_boundary = time.time()
             if it is not None:
                 while not done["v"]:
                     done["v"] = pump(it)
@@ -164,6 +165,7 @@ def main():
                 # and queue behind that tail automatically (async dispatch);
                 # drain_async() syncs once at the very end.
                 state["ts"], state["metrics"] = state["result"]
+            stats["drain_seconds"] = time.time() - t_boundary
             state["it"] = learner.iter_chunked_update(
                 state["ts"], batch, stats["mean_episode_cost"], 1
             )
@@ -237,6 +239,13 @@ def main():
     )
     timing = {k: round(v * 1000, 1) for k, v in stats.items() if k.startswith("time/")}
     print(f"# per-step ms: {timing}", file=sys.stderr)
+    boundary = {
+        k: round(stats[k] * 1000, 1)
+        for k in ("assemble_seconds", "drain_seconds")
+        if k in stats
+    }
+    if boundary:
+        print(f"# window-boundary ms: {boundary}", file=sys.stderr)
     if not use_async and update_seconds:
         from safevla_tpu.algo.flops import update_flops_estimate
 
