@@ -7,8 +7,9 @@ JSON line in the same contract as bench.py.
 
 The reference publishes no offline throughput number; `vs_baseline` divides
 by an ESTIMATED 1,000 frames/s for the reference A6000 Lightning trainer
-(ViT forward over 2*B*T frames dominates at ~24 TFLOP/step; a well-tuned
-mixed-precision A6000 run lands near ~1k frames/s) — see PERFORMANCE.md.
+(the frozen ViT forward over 2*B*T frames is the largest component, ~35 of
+the step's ~65 analytic TFLOP; a well-tuned mixed-precision A6000 run lands
+near ~1k frames/s) — see PERFORMANCE.md "Offline MFU resolved" (r5).
 """
 import json
 import os
@@ -165,23 +166,36 @@ def main():
 
     # FLOP accounting for the MFU line: frozen ViT fwd over 2*B*T frames +
     # tower fwd+bwd (fusion+decoder, no ViT backward — frozen params are a
-    # separate non-diff argument).
+    # separate non-diff argument). Analytic, NOT cost_analysis(): the
+    # compiled-step counter undercounts ~2x (pallas custom calls report zero
+    # FLOPs; the chunked fusion's while body is counted once, not per trip —
+    # measured r5, PERFORMANCE.md "Offline MFU resolved").
+    from safevla_tpu.algo.flops import bc_step_flops_estimate
+
+    tflop = bc_step_flops_estimate(cfg, B, T) / 1e12
     try:
         cost = trainer._jit_step.lower(state, batch, aug).compile().cost_analysis()
-        tflop = float(cost.get("flops", 0.0)) / 1e12
+        xla_tflop = float(cost.get("flops", 0.0)) / 1e12
     except Exception:  # noqa: BLE001
-        tflop = 0.0
-    if tflop:
-        print(
-            f"# bc step {dt*1000:.0f} ms, ~{tflop:.0f} TFLOP -> "
-            f"{tflop/dt:.0f} TFLOP/s ({tflop/dt/197*100:.0f}% of v5e bf16 peak)",
-            file=sys.stderr,
-        )
+        xla_tflop = 0.0
+    mfu_pct = tflop / dt / 197 * 100
+    print(
+        f"# bc step {dt*1000:.0f} ms, ~{tflop:.0f} TFLOP analytic -> "
+        f"{tflop/dt:.0f} TFLOP/s ({mfu_pct:.0f}% of v5e bf16 peak); "
+        f"xla cost_analysis says {xla_tflop:.0f} TFLOP (undercount, see flops.py)",
+        file=sys.stderr,
+    )
     line = {
         "metric": "bc_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 1000.0, 3),
+        "context": {
+            "baseline_estimated": True,
+            "baseline_frames_per_sec": 1000.0,
+            "tflop_analytic": round(tflop, 1),
+            "mfu_pct": round(mfu_pct, 1),
+        },
     }
 
     # --real-data (or BENCH_BC_REAL=1): feed the SAME jitted step from a

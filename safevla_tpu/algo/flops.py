@@ -54,3 +54,40 @@ def update_flops_estimate(cfg, batch: int, seq: int) -> float:
     towers = cfg.model.num_towers
     per_epoch = towers * (4 * fus + 3 * dec)
     return cfg.ppo.update_repeats * per_epoch
+
+
+def _vit_fwd_flops(cfg, frames: int) -> float:
+    """Frozen ViT forward over `frames` camera frames (matmuls + attention +
+    patch embed). Needed because the compiled-step cost analysis can't be
+    trusted for this (see bc_step_flops_estimate)."""
+    from safevla_tpu.models.vit import VIT_CONFIGS
+
+    vc = VIT_CONFIGS[cfg.model.vision_backbone]
+    gh, gw = vc.img_height // vc.patch_size, vc.img_width // vc.patch_size
+    n_tok = 1 + gh * gw
+    d = vc.embed_dim
+    ffn = int(vc.mlp_ratio * d)
+    per_tok_layer = 2 * d * (3 * d) + 2 * d * d + 2 * d * ffn * 2  # qkv+proj+mlp
+    matmul = frames * vc.depth * n_tok * per_tok_layer
+    attn = frames * vc.depth * 4 * n_tok * n_tok * d
+    patch = frames * gh * gw * 2 * (3 * vc.patch_size**2) * d
+    return matmul + attn + patch
+
+
+def bc_step_flops_estimate(cfg, batch: int, seq: int) -> float:
+    """Total FLOPs of one offline BC step: frozen ViT forward over both
+    cameras + tower fwd/remat/bwd (same 4xfusion + 3xdecoder convention as
+    the update, one epoch).
+
+    This analytic count exists because `compiled.cost_analysis()['flops']`
+    undercounts the step ~2x (measured r5, PERFORMANCE.md "Offline MFU
+    resolved"): (a) pallas attention custom calls report zero FLOPs, and
+    (b) the chunked fusion encoder runs under a `lax.scan`/while loop whose
+    body XLA cost analysis counts ONCE, not trip_count times.
+    """
+    cams = 2 if cfg.model.use_manipulation_camera else 1
+    n = batch * seq
+    vit = _vit_fwd_flops(cfg, cams * n)
+    fus = _fusion_fwd_flops(cfg, n)
+    dec = _decoder_fwd_flops(cfg, batch, seq)
+    return vit + cfg.model.num_towers * (4 * fus + 3 * dec)

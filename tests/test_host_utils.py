@@ -234,3 +234,25 @@ def test_every_registered_task_type_has_an_instruction_template():
     # point-goal templates take no object params
     assert REGISTERED_INSTRUCTION_TYPES["GoToPoint"]({}).endswith("point")
     assert REGISTERED_INSTRUCTION_TYPES["GoNearPoint"]({}).endswith("object")
+
+
+def test_flops_estimates_magnitude_and_scaling():
+    """Guards the analytic FLOP accounting behind the bench MFU lines
+    (PERFORMANCE.md r5 "Offline MFU resolved": cost_analysis undercounts,
+    so these numbers ARE the published accounting)."""
+    from safevla_tpu.algo.flops import bc_step_flops_estimate, update_flops_estimate
+    from safevla_tpu.config import Config
+
+    cfg = Config()
+    bc = bc_step_flops_estimate(cfg, 16, 50)
+    # documented magnitude at the reference BC config (64.8 TFLOP)
+    assert 55e12 < bc < 75e12, bc
+    # linear in batch
+    assert abs(bc_step_flops_estimate(cfg, 32, 50) / bc - 2.0) < 1e-6
+    upd = update_flops_estimate(cfg, 32, 128)
+    # documented magnitude for the PPO update (~606 TFLOP, r3/r4 accounting)
+    assert 500e12 < upd < 700e12, upd
+    # the BC step's ViT share dominates its tower share
+    from safevla_tpu.algo.flops import _vit_fwd_flops
+
+    assert _vit_fwd_flops(cfg, 1600) > 0.4 * bc
