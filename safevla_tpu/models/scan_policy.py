@@ -16,11 +16,17 @@ program:
   measured on the v5e: bench 291.4 -> 331.1 fps median, update
   8.06 s -> ~6.0 s just by unrolling the same stacked tree at trace time
   (2026-08-18 on-chip A/B; PERFORMANCE.md round-3 tail table).
-- **TPU act path: rolled scan.** The unroll win lives in the update's
-  backward; the act program's forward-only decode ties rolled vs unrolled
-  (PERFORMANCE.md r4 hybrid study), while the unrolled act program costs
-  110+ s of cold compile vs ~58 s rolled. Traced regions wrapped in
-  `trace_site("act")` therefore default to the rolled scan on TPU.
+- **TPU act path: unrolled (r5 correction).** The r4 default rolled the
+  act-site scans on an EXTRAPOLATED ~58 s compile (the r3-era rolled act
+  program). Measured same-day in r5, the CURRENT act program cold-compiles
+  in 74.6 s unrolled vs 672.2 s rolled — a 9x compile-time pathology in
+  the while-loop lowering of today's act body (KV-cache
+  dynamic-update-slices + pallas attention inside the rolled loop), the
+  opposite of the rationale. Act-site programs therefore follow the
+  platform default (TPU: unrolled); `SAFEVLA_ACT_UNROLL=0`/`=k` remain for
+  topologies where rolled wins. Throughput ties either way
+  (PERFORMANCE.md r4 hybrid study; r5 re-confirmed the headline under
+  unrolled act).
 - **param init: rolled.** Once-per-process, compile-dominated; the rolled
   init lowers several-fold faster with an identical param tree
   (`trace_site("init")`).
@@ -102,19 +108,18 @@ def stack_unroll(depth: int, env_var: str) -> int:
 
     Precedence: site override env (SAFEVLA_ACT_UNROLL / SAFEVLA_INIT_UNROLL,
     only inside the matching trace_site) > per-module env (`env_var`) >
-    site default (act/init: rolled) > platform default (TPU: unrolled,
-    CPU: rolled).
+    site default (init: rolled; act: platform default since r5 — rolled
+    act measured 672 s cold vs 75 s unrolled, see module docstring) >
+    platform default (TPU: unrolled, CPU: rolled).
     """
     site = _TRACE_SITE.get()
     if site in ("act", "init"):
         forced = _flag("SAFEVLA_ACT_UNROLL" if site == "act" else "SAFEVLA_INIT_UNROLL")
         if forced is not None:
             return _resolve(depth, forced)
-        module_forced = _flag(env_var)
-        if module_forced is not None:
-            return _resolve(depth, module_forced)
-        return 1  # site default: rolled (compile time; fps ties, see above)
     module_forced = _flag(env_var)
     if module_forced is not None:
         return _resolve(depth, module_forced)
+    if site == "init":
+        return 1  # once-per-process, compile-dominated: rolled
     return depth if on_tpu() else 1

@@ -190,6 +190,11 @@ REGISTERED_INSTRUCTION_TYPES = dict(
     BPEObjectNavMulti=object_nav_multi,
     GoToPoint=go_to_point,
     GoNearPoint=go_near_point,
+    # learnability probes (tasks/probe.py): the spec's own NL string IS the
+    # instruction — InstructionBandit's reward is defined by it ("turn
+    # left"/"turn right"), ConstrainedBandit's is instruction-independent
+    ConstrainedBandit=lambda p: p.get("natural_language_spec", "stay safe"),
+    InstructionBandit=lambda p: p["natural_language_spec"],
 )
 
 

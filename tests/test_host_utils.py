@@ -89,6 +89,8 @@ def test_stretch_state_difference_and_tolerance():
 
 
 def test_instruction_templates_cover_registered_param_types():
+    import safevla_tpu.tasks  # noqa: F401 — registers all task types incl. probes
+
     # every instruction type must have a param schema
     for key in REGISTERED_INSTRUCTION_TYPES:
         assert key in REGISTERED_TASK_PARAMS
@@ -225,6 +227,7 @@ def test_detector_bbox_sensor_custom():
 def test_every_registered_task_type_has_an_instruction_template():
     import random
 
+    import safevla_tpu.tasks  # noqa: F401 — registers all task types incl. probes
     from safevla_tpu.types import REGISTERED_TASK_PARAMS
     from safevla_tpu.utils.instructions import REGISTERED_INSTRUCTION_TYPES
 

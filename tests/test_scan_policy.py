@@ -33,14 +33,21 @@ def test_invalid_override_warns_and_uses_default(monkeypatch):
         assert stack_unroll(12, "SAFEVLA_TOWER_UNROLL") == 1
 
 
-def test_act_site_defaults_to_rolled(monkeypatch):
-    # even when the module env forces unroll OUTSIDE the site
+def test_act_site_follows_platform_default(monkeypatch):
+    """r5: the act site uses the PLATFORM default (rolled act measured 672 s
+    cold-compile vs 75 s unrolled on TPU — scan_policy.py docstring). On CPU
+    (this suite) that is rolled."""
     monkeypatch.delenv("SAFEVLA_ACT_UNROLL", raising=False)
     monkeypatch.delenv("SAFEVLA_TOWER_UNROLL", raising=False)
     with trace_site("act"):
         assert stack_unroll(12, "SAFEVLA_TOWER_UNROLL") == 1
         assert scan_policy.current_trace_site() == "act"
     assert scan_policy.current_trace_site() is None
+    monkeypatch.setattr(scan_policy, "on_tpu", lambda: True)
+    with trace_site("act"):
+        assert stack_unroll(12, "SAFEVLA_TOWER_UNROLL") == 12
+    with trace_site("init"):
+        assert stack_unroll(12, "SAFEVLA_VIT_UNROLL") == 1
 
 
 def test_partial_unroll_factor(monkeypatch):
