@@ -109,9 +109,10 @@ def main():
     factory = make_sampler_factory(max_steps=100, image_hw=(224, 384))
 
     # async pipeline (window k-1's update woven between window k's acts,
-    # chunk=64 programs) is the measured headline mode on v5e: 358.0 fps vs
-    # 326.7 best sync (PERFORMANCE.md round-4 sweep). BENCH_ASYNC=0 measures
-    # the sync path (exact same-window PPO semantics, the trainer default).
+    # T-sliced chunk_t=2 programs) is the measured headline mode AND the
+    # trainer default since r5: 463.6 fps vs 428.1 chunk_t=4 / 366.5
+    # chunk_t=1 (PERFORMANCE.md round-5 sweeps). BENCH_ASYNC=0 measures
+    # the sync path (exact same-window PPO semantics).
     use_async = os.environ.get("BENCH_ASYNC", "1") == "1"
 
     policy = SafeVLAPolicy(cfg.model)
