@@ -196,10 +196,13 @@ class InferenceAgent:
 
             ckpt_path = resolve_checkpoint_path(ckpt_path)
             if os.path.isdir(ckpt_path):
-                from safevla_tpu.utils.checkpoint import restore_checkpoint
+                # native Orbax checkpoint: a trainer state (TrainState /
+                # BCTrainState), a bare params tree, or a run output dir of
+                # step_<N> children. Frozen vit/t5 restore too when saved, so
+                # eval runs the exact backbone the policy was trained against.
+                from safevla_tpu.utils.checkpoint import restore_policy_params
 
-                restored = restore_checkpoint(ckpt_path, {"towers": params["towers"]})
-                params = {**params, "towers": restored["towers"]}
+                params = restore_policy_params(ckpt_path, params)
             else:
                 from safevla_tpu.models.convert import import_stacked_towers_from_torch
 

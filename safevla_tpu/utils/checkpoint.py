@@ -68,6 +68,68 @@ def restore_checkpoint(ckpt_dir: str, target: Any) -> Any:
         return ckptr.restore(os.path.abspath(ckpt_dir), target)
 
 
+def restore_policy_params(ckpt_dir: str, init_params: dict) -> dict:
+    """Restore inference-ready policy params from any NATIVE Orbax layout.
+
+    The framework's own checkpoints come in two tree shapes: trainer states
+    (online `TrainState` / offline `BCTrainState`: `tower_params` +
+    `frozen_params={"vit","t5"}` + opt_state/...) and bare params trees
+    (`{"towers": ..., "vit": ..., "t5": ...}` or just `{"towers": ...}`).
+    This mirrors the reference's multi-format checkpoint auto-detection for
+    its torch files (reference inference_agent.py:127-166) for the native
+    format: restore raw (no target — layouts differ), pick whichever policy
+    subtrees the checkpoint carries, and fall back to `init_params` for the
+    rest. Frozen vit/t5 are taken from the checkpoint when present so
+    evaluation runs the EXACT backbone training used, not a re-init.
+
+    `ckpt_dir` may also be a run output directory containing `step_<N>`
+    children; the latest step is used.
+    """
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        raise FileNotFoundError(ckpt_dir)
+    # accept a trainer output dir: descend to the newest step_<N>
+    if not os.path.basename(ckpt_dir).startswith("step_"):
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            ckpt_dir = latest
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(ckpt_dir)
+
+    out = dict(init_params)
+    picked = {}
+    if isinstance(raw, dict) and "tower_params" in raw:  # trainer state
+        picked["towers"] = raw["tower_params"]
+        frozen = raw.get("frozen_params") or {}
+        for k in ("vit", "t5"):
+            if isinstance(frozen, dict) and frozen.get(k) is not None:
+                picked[k] = frozen[k]
+    elif isinstance(raw, dict) and "towers" in raw:  # bare params tree
+        for k in ("towers", "vit", "t5"):
+            if raw.get(k) is not None:
+                picked[k] = raw[k]
+    else:
+        keys = sorted(raw.keys()) if isinstance(raw, dict) else type(raw).__name__
+        raise ValueError(
+            f"{ckpt_dir} is not a recognized safevla checkpoint: expected a "
+            f"trainer state ('tower_params') or a params tree ('towers'); "
+            f"found {keys}. Torch-format files go through models/convert."
+        )
+    for k, tree in picked.items():
+        got = jax.tree_util.tree_structure(tree)
+        want = jax.tree_util.tree_structure(init_params[k])
+        if got != want:
+            raise ValueError(
+                f"checkpoint subtree {k!r} does not match the current model "
+                f"({got.num_leaves} vs {want.num_leaves} leaves) — param "
+                "layout drift; re-import or migrate the checkpoint"
+            )
+        out[k] = tree
+    return out
+
+
 def resolve_checkpoint_path(path: str, download_dir: str = "ckpts") -> str:
     """Resolve a checkpoint reference to a local path.
 
