@@ -2,13 +2,31 @@
 
 import os
 
-os.environ["SAFEVLA_AUGMENT_F32"] = "1"  # exact-math mode for oracle parity
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _exact_augment_math():
+    """Oracle parity needs f32 augment math — but scoped to THIS module.
+    A module-level `os.environ[...] = "1"` leaked the flag to every test
+    collected after this file, flipping their augment programs bf16 -> f32;
+    the float-path change deterministically re-routed the probe-task
+    trajectory and failed tests/test_learning.py's sync run ONLY inside the
+    full suite (passed in isolation). The dtype is read at jit-trace time
+    and this module's small oracle shapes don't collide with the rollout's,
+    so fixture scoping restores order-independence."""
+    old = os.environ.get("SAFEVLA_AUGMENT_F32")
+    os.environ["SAFEVLA_AUGMENT_F32"] = "1"
+    yield
+    if old is None:
+        os.environ.pop("SAFEVLA_AUGMENT_F32", None)
+    else:
+        os.environ["SAFEVLA_AUGMENT_F32"] = old
 
 from safevla_tpu.preprocessing.augment import (
     AugmentParams,

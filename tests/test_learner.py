@@ -263,3 +263,41 @@ def test_chunked_update_matches_monolithic(tiny_model_cfg, tiny_policy, stage_ki
         float(ts_mono.lagrange.multiplier)
     )
     assert int(ts_chunk.step) == int(ts_mono.step)
+
+
+@pytest.mark.parametrize("async_chunk", [4, 8, 0])
+def test_chunked_program_count_matches_generator(
+    tiny_model_cfg, tiny_policy, async_chunk
+):
+    """The async trainer paces `ceil(chunked_program_count / T)` update
+    programs per env step (training/online.py). If the generator's actual
+    program count drifts from the formula, the weave silently degrades: the
+    residue drains serially at the window boundary — exactly the
+    serialization the async pipeline exists to remove. Guard the contract:
+    one yield per enqueued device program, total == the formula."""
+    import dataclasses
+
+    from safevla_tpu.algo.learner import Learner
+
+    cfg = Config()
+    cfg.model = dataclasses.replace(
+        tiny_model_cfg, fusion_chunk=8, async_fusion_chunk=async_chunk
+    )
+    cfg.ppo.update_repeats = 2
+    learner = Learner(tiny_policy, cfg)
+    ts = learner.init(jax.random.PRNGKey(0))
+    B, T = 4, 8
+    batch = _batch(tiny_model_cfg, B=B, T=T)
+
+    it = learner.iter_chunked_update(ts, batch, 1.5, 1)
+    yields = 0
+    while True:
+        try:
+            next(it)
+            yields += 1
+        except StopIteration as stop:
+            ts_out, metrics = stop.value
+            break
+    assert yields == learner.chunked_program_count(B, T)
+    assert np.isfinite(float(metrics["total"]))
+    assert int(ts_out.step) == B * T
