@@ -265,6 +265,7 @@ def test_chunked_update_matches_monolithic(tiny_model_cfg, tiny_policy, stage_ki
     assert int(ts_chunk.step) == int(ts_mono.step)
 
 
+@pytest.mark.slow  # 3 Learner compiles ~100 s on the 1-core box
 @pytest.mark.parametrize("async_chunk", [4, 8, 0])
 def test_chunked_program_count_matches_generator(
     tiny_model_cfg, tiny_policy, async_chunk
