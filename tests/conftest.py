@@ -7,10 +7,23 @@ standard JAX way to exercise multi-chip sharding without a pod.
 """
 
 import os
+import tempfile
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+# Hermetic compile cache: CLI tests (tests/test_evaluation.py drives
+# cli.evaluate.main) call enable_persistent_cache(), which flips the
+# PROCESS-GLOBAL jax_compilation_cache_dir — without this, every test
+# collected after them silently loads executables from the shared bench
+# cache (~/.cache/safevla_jax, populated by TPU-tunnel runs under different
+# XLA flag contexts). Observed: XLA:CPU "machine feature mismatch" AOT
+# loads whose different vectorization re-rounded float paths and flipped
+# the marginal learning-dynamics assertions run-to-run. A per-process tmp
+# dir keeps any cache enable isolated and cold, so suite runs are
+# deterministic and independent of bench history.
+os.environ["SAFEVLA_JAX_CACHE"] = tempfile.mkdtemp(prefix="safevla_jax_test_")
 
 import jax
 
